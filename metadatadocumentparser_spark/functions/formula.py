@@ -1,0 +1,108 @@
+"""F2/P7/P8 — formula detection as native column arithmetic.
+
+Reference ``extractors/formula.py:17-169``. Symbol counts use the
+length-minus-translate trick (JVM-side, no UDF); regex features use
+``rlike`` (Java dialect — patterns adjusted where Python's unicode ``\\w``
+differs, see MATH_FRACTION_JAVA); the weighted score is built with the
+exact addition order of the reference so doubles match bit-for-bit.
+
+Score recipe (formula.py:80-123):
+  score = sym_count·0.4 + char_count·0.1 + 0.6·[strong indicator]
+        + 0.4·[math regex] + 0.3·[has ^ or _] + 0.2·[fraction \\w+/\\w+]
+        + 0.2·[font_size < 10] + 0.4·[len < 50 ∧ density > 0.2]
+  density = (sym_count + char_count) / len
+  threshold 0.8 strict / 0.7 normal; strict zeroes the score when no strong
+  indicator and density < 0.3; confidence = min(score, 1.0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# formula.py:35-36 — exact alphabets
+MATH_SYMBOLS = "∫∑∏√±×÷≈≠≤≥∞∂∇αβγδεζηθλμπρσφψωΔΣΠΩ"
+MATH_CHARS = "+-*/=()[]{}^_∈∉⊂⊃∪∩|<>;:!%"
+# formula.py:39 — all strong indicators are single chars → one alphabet
+STRONG_CHARS = "=∫∑∏√∂∇≈≠≤≥∞∈∉"
+
+# formula.py:43-50 — positive patterns (Java-dialect-safe forms; `{`
+# escaped for the Java parser, semantics unchanged)
+MATH_PATTERNS_JAVA = [
+    r"[a-zA-Z]\s*\([a-zA-Z0-9,\s]+\)\s*=",
+    r"\\[a-zA-Z]+",
+    r"_\s*\{[^}]+\}",
+    r"\^\s*\{[^}]+\}",
+    r"[a-zA-Z]_[a-zA-Z0-9]",
+    r"[0-9]+\s*[\+\-\*\/]\s*[0-9]+",
+]
+# formula.py:105 uses Python \w (unicode); Java \w is ASCII-only, so use
+# explicit unicode classes to match the oracle on Greek-adjacent fractions.
+MATH_FRACTION_JAVA = r"[\p{L}\p{N}_]+/[\p{L}\p{N}_]+"
+
+# formula.py:54-62 — negative patterns (identical in both dialects; both
+# Python and Java `$` match before a final line terminator)
+NON_MATH_PATTERNS_JAVA = [
+    r"Fig\.\s*\d+",
+    r"Table\s*\d+",
+    r"\d{4}-\d{2}-\d{2}",
+    r"Page\s*\d+",
+    r"https?://",
+    r"www\.",
+    r"^[A-Z][a-z]+ \d+$",
+]
+
+
+def _count_in_alphabet(col: Column, alphabet: str) -> Column:
+    """Chars of col drawn from alphabet, via length − translate-delete."""
+    return F.length(col) - F.length(F.translate(col, alphabet, ""))
+
+
+def stripped_text(text: Column) -> Column:
+    """block.text.strip() (formula.py:67) — full-whitespace trim."""
+    return F.regexp_replace(text, r"^\s+|\s+$", "")
+
+
+def is_formula_candidate(t: Column) -> Column:
+    """P8 min-length (formula.py:69-70) + P7 negative regexes (:73)."""
+    neg = F.lit(False)
+    for p in NON_MATH_PATTERNS_JAVA:
+        neg = neg | t.rlike(p)
+    return (F.length(t) >= 2) & ~neg
+
+
+def formula_score_cols(t: Column, font_size: Column, strict_mode: bool = False):
+    """Returns (score, confidence, passes_threshold) columns for stripped
+    text t. Addition order mirrors formula.py:77-114 exactly."""
+    length = F.length(t)
+    sym = _count_in_alphabet(t, MATH_SYMBOLS)
+    chr_ = _count_in_alphabet(t, MATH_CHARS)
+    density = (sym + chr_) / length  # int/int → double in Spark SQL
+
+    has_strong = _count_in_alphabet(t, STRONG_CHARS) > 0
+
+    any_pattern = F.lit(False)
+    for p in MATH_PATTERNS_JAVA:
+        any_pattern = any_pattern | t.rlike(p)
+
+    fs_ok = font_size.isNotNull() & (font_size != 0.0)
+
+    score = (
+        sym.cast("double") * 0.4
+        + chr_.cast("double") * 0.1
+        + F.when(has_strong, 0.6).otherwise(0.0)
+        + F.when(any_pattern, 0.4).otherwise(0.0)
+        + F.when(t.contains("^") | t.contains("_"), 0.3).otherwise(0.0)
+        + F.when(t.rlike(MATH_FRACTION_JAVA), 0.2).otherwise(0.0)
+        + F.when(fs_ok & (font_size < 10), 0.2).otherwise(0.0)
+        + F.when((length < 50) & (density > 0.2), 0.4).otherwise(0.0)
+    )
+
+    threshold = 0.8 if strict_mode else 0.7
+    if strict_mode:
+        # formula.py:119-123 — zero out without strong evidence
+        score = F.when(~has_strong & (density < 0.3), F.lit(0.0)).otherwise(score)
+
+    passes = score >= F.lit(threshold)
+    confidence = F.least(score, F.lit(1.0))
+    return score, confidence, passes

@@ -1,0 +1,167 @@
+"""The vectorized structural parse kernel (the engine's ONE heavy UDF).
+
+``mapInPandas`` over transcript rows: each Arrow batch of turns is parsed
+structurally (payload → blocks/images/tables/meta/segments with char spans)
+and returned as nested arrays — one output row per turn. Everything
+downstream (classification, formula scoring, LaTeX, boilerplate tree,
+ordering, indexes) is native Catalyst on the exploded arrays.
+
+Scale notes:
+- per-turn independence → the kernel needs no grouping, no shuffle; it runs
+  map-side on whatever partitioning the reader produced (the pipeline
+  repartitions by (conv_id, turn_idx) first, which removes conversation-level
+  skew entirely — SURVEY.md §4.2).
+- Arrow batch size is capped via spark.sql.execution.arrow.maxRecordsPerBatch
+  (session.py) so multi-MB turn payloads cannot blow executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from . import docparse, htmlseg
+
+PARSED_DDL = ", ".join(
+    [
+        "conv_id string",
+        "turn_idx int",
+        "role string",
+        "tool string",
+        "ts timestamp",
+        "text string",
+        "is_html boolean",
+        (
+            "meta struct<title:string,author:string,subject:string,creator:string,"
+            "producer:string,creation_date:string,modification_date:string,"
+            "num_pages:int,file_size:bigint,"
+            "page_sizes:array<struct<width:double,height:double>>>"
+        ),
+        "column_layout string",
+        "extracted_text string",
+        "spans array<struct<start:int,`end`:int>>",
+        (
+            "blocks array<struct<block_idx:int,page_num:int,bbox:array<double>,"
+            "text:string,font_size:double,font_name:string,needs_classify:boolean,"
+            "page_height:double,span_start:int,span_end:int>>"
+        ),
+        (
+            "images array<struct<image_index:int,page_num:int,bbox:array<double>,"
+            "width:int,height:int,colorspace:string,ext:string>>"
+        ),
+        (
+            "tables array<struct<table_index:int,page_num:int,bbox:array<double>,"
+            "data:array<array<string>>,extraction_method:string>>"
+        ),
+        (
+            "segments array<struct<seg_idx:int,text:string,start:int,`end`:int,"
+            "tag_path:string,words:int,link_density:double,boiler_container:boolean>>"
+        ),
+    ]
+)
+
+
+def make_parse_kernel(
+    text_method: str = "pymupdf",
+    layout_aware: bool = True,
+    column_aware: bool = True,
+    header_margin: float = 50,
+    footer_margin: float = 50,
+    table_method: str = "camelot",
+):
+    """Returns the mapInPandas function for the given parse flags (the
+    reference parse() kwargs, parser.py:56-68). Flags are plain closure
+    values — they select code paths once per batch, never per row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for conv_id, turn_idx, role, tool, ts, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["tool"], pdf["ts"], pdf["text"]
+            ):
+                text = text if isinstance(text, str) else ""
+                parsed = docparse.parse_turn(
+                    text,
+                    text_method=text_method,
+                    layout_aware=layout_aware,
+                    column_aware=column_aware,
+                    header_margin=header_margin,
+                    footer_margin=footer_margin,
+                    table_method=table_method,
+                )
+                is_html = parsed["html"] is not None
+                if is_html:
+                    segments = [
+                        {
+                            "seg_idx": s["seg_idx"],
+                            "text": s["text"],
+                            "start": s["start"],
+                            "end": s["end"],
+                            "tag_path": s["tag_path"],
+                            "words": s["words"],
+                            "link_density": s["link_density"],
+                            "boiler_container": s["boiler_container"],
+                        }
+                        for s in htmlseg.segment_html(parsed["html"], parsed["html_start"])
+                    ]
+                    extracted_text = None  # assembled natively from content segments
+                    spans = None
+                    column_layout = None
+                else:
+                    segments = []
+                    extracted_text = parsed["extracted_text"]
+                    spans = [{"start": s[0], "end": s[1]} for s in parsed["spans"]]
+                    column_layout = parsed["column_layout"]
+                m = parsed["meta"]
+                recs.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": int(turn_idx),
+                        "role": role,
+                        "tool": tool,
+                        "ts": ts,
+                        "text": text,
+                        "is_html": is_html,
+                        "meta": {
+                            **{k: m[k] for k in (
+                                "title", "author", "subject", "creator", "producer",
+                                "creation_date", "modification_date", "num_pages", "file_size",
+                            )},
+                            "page_sizes": [
+                                {"width": p[0], "height": p[1]} for p in m["page_sizes"]
+                            ],
+                        },
+                        "column_layout": column_layout,
+                        "extracted_text": extracted_text,
+                        "spans": spans,
+                        "blocks": [
+                            {
+                                "block_idx": b["block_idx"],
+                                "page_num": b["page_num"],
+                                "bbox": b["bbox"],
+                                "text": b["text"],
+                                "font_size": b["font_size"],
+                                "font_name": b["font_name"],
+                                "needs_classify": b["needs_classify"],
+                                "page_height": b["page_height"],
+                                "span_start": b["span_start"],
+                                "span_end": b["span_end"],
+                            }
+                            for b in parsed["blocks"]
+                        ],
+                        "images": parsed["images"],
+                        "tables": parsed["tables"],
+                        "segments": segments,
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "conv_id", "turn_idx", "role", "tool", "ts", "text", "is_html",
+                    "meta", "column_layout", "extracted_text", "spans", "blocks",
+                    "images", "tables", "segments",
+                ],
+            )
+
+    return kernel

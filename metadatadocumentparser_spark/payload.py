@@ -1,0 +1,261 @@
+"""Tokenizer for the synthetic per-turn document payload markup.
+
+Each transcript turn's ``text`` column carries a document payload in a
+line-oriented markup that plays the role the raw PDF byte stream plays for
+the reference parser (the PyMuPDF ``page.get_text("dict")`` block→line→span
+tree, reference ``extractors/text.py:38-53``; pdfplumber word dicts,
+``extractors/text.py:164-181``; embedded image records,
+``extractors/image.py:14-44``; trailer metadata, ``parser.py:127-150``).
+
+Grammar (lines separated by ``\\n``; numbers are decimal floats):
+
+    %%DOC key=value;key=value;...        document metadata (PDF trailer analogue)
+    %%PAGE <w> <h>                       begin page
+    %%DRAW <x0> <y0> <x1> <y1>           vector-drawing rect (layout.py:144,193-195)
+    %%IMG <x0> <y0> <x1> <y1> <w> <h> <colorspace> <ext>   embedded image
+    %%BLK <x0> <y0> <x1> <y1>            begin text block
+    %%LN <x0> <y0> <x1> <y1> <dx> <dy>   begin line (dir=(dx,dy), layout.py:211-215)
+    %%SP <size> <font>|<text to EOL>     span; text starts right after '|'
+    %%WORD <x0> <x1> <top> <bottom>|<w>  pdfplumber-style word record
+    %%TBL <x0> <y0> <x1> <y1>            begin table
+    %%ROW cell|cell|...                  table row
+    %%HTML                               the REST of the payload is raw HTML
+                                         (north-rule boilerplate-strip axis)
+
+Character-span offsets: every ``%%SP`` / ``%%WORD`` records the absolute
+(start, end) offsets of its text inside the original turn ``text`` — these
+flow through the whole pipeline unchanged (the north rule's per-turn
+char-span equality contract).
+
+Malformed lines are skipped (the reference swallows per-stage errors rather
+than failing the document, ``parser.py:148-150``); a malformed ``%%DOC``
+sets ``meta_error`` and yields metadata with only ``file_size`` populated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Span:
+    size: float
+    font: str
+    text: str
+    start: int  # char offset of text in the turn payload
+    end: int
+
+
+@dataclass
+class Line:
+    bbox: tuple  # (x0, y0, x1, y1) floats
+    direction: tuple  # (dx, dy)
+    spans: list = field(default_factory=list)
+
+
+@dataclass
+class Block:
+    bbox: tuple
+    lines: list = field(default_factory=list)
+
+
+@dataclass
+class Word:
+    x0: float
+    x1: float
+    top: float
+    bottom: float
+    text: str
+    start: int
+    end: int
+
+
+@dataclass
+class ImageRec:
+    bbox: tuple
+    width: int
+    height: int
+    colorspace: str
+    ext: str
+
+
+@dataclass
+class TableRec:
+    bbox: tuple
+    rows: list = field(default_factory=list)  # list[list[str]]
+
+
+@dataclass
+class Page:
+    w: float
+    h: float
+    blocks: list = field(default_factory=list)
+    words: list = field(default_factory=list)
+    images: list = field(default_factory=list)
+    tables: list = field(default_factory=list)
+    draws: list = field(default_factory=list)  # list of bbox tuples
+
+
+@dataclass
+class DocPayload:
+    meta: Optional[dict]  # raw key->value from %%DOC, or None
+    meta_error: bool
+    pages: list
+    html: Optional[str]  # raw html text, or None
+    html_start: int  # char offset of html text in the payload
+
+
+_DOC_KEYS = (
+    "title",
+    "author",
+    "subject",
+    "creator",
+    "producer",
+    "creationDate",
+    "modDate",
+)
+
+
+def _floats(parts, n):
+    if len(parts) < n:
+        return None
+    try:
+        return [float(p) for p in parts[:n]]
+    except ValueError:
+        return None
+
+
+def parse_payload(text: str) -> DocPayload:
+    """Tokenize one turn payload. Never raises on malformed input."""
+    meta = None
+    meta_error = False
+    pages: list = []
+    html = None
+    html_start = 0
+
+    page = None
+    block = None
+    line = None
+    table = None
+
+    pos = 0
+    n = len(text)
+    while pos < n:
+        eol = text.find("\n", pos)
+        if eol == -1:
+            eol = n
+        raw = text[pos:eol]
+        line_start = pos
+        pos = eol + 1
+
+        if not raw.startswith("%%"):
+            continue
+        sep = raw.find(" ")
+        tag = raw if sep == -1 else raw[:sep]
+        rest = "" if sep == -1 else raw[sep + 1 :]
+
+        if tag == "%%HTML":
+            html_start = line_start + len(raw) + 1
+            html = text[html_start:]
+            break
+
+        if tag == "%%DOC":
+            meta = {}
+            try:
+                for kv in rest.split(";"):
+                    if not kv:
+                        continue
+                    k, _, v = kv.partition("=")
+                    if k not in _DOC_KEYS:
+                        raise ValueError(k)
+                    meta[k] = v
+            except ValueError:
+                meta = None
+                meta_error = True
+            continue
+
+        if tag == "%%PAGE":
+            f = _floats(rest.split(), 2)
+            if f is None:
+                continue
+            page = Page(w=f[0], h=f[1])
+            pages.append(page)
+            block = line = table = None
+            continue
+
+        if page is None:
+            continue
+
+        if tag == "%%DRAW":
+            f = _floats(rest.split(), 4)
+            if f is not None:
+                page.draws.append(tuple(f))
+        elif tag == "%%IMG":
+            parts = rest.split()
+            f = _floats(parts, 6)
+            if f is not None and len(parts) >= 8:
+                page.images.append(
+                    ImageRec(
+                        bbox=tuple(f[:4]),
+                        width=int(f[4]),
+                        height=int(f[5]),
+                        colorspace=parts[6],
+                        ext=parts[7],
+                    )
+                )
+        elif tag == "%%BLK":
+            f = _floats(rest.split(), 4)
+            if f is not None:
+                block = Block(bbox=tuple(f))
+                page.blocks.append(block)
+                line = None
+        elif tag == "%%LN":
+            f = _floats(rest.split(), 6)
+            if f is not None and block is not None:
+                line = Line(bbox=tuple(f[:4]), direction=(f[4], f[5]))
+                block.lines.append(line)
+        elif tag == "%%SP":
+            bar = rest.find("|")
+            if bar == -1 or line is None:
+                continue
+            head = rest[:bar].split()
+            f = _floats(head, 1)
+            if f is None or len(head) < 2:
+                continue
+            start = line_start + len(tag) + 1 + bar + 1
+            sp_text = rest[bar + 1 :]
+            line.spans.append(
+                Span(size=f[0], font=head[1], text=sp_text, start=start, end=start + len(sp_text))
+            )
+        elif tag == "%%WORD":
+            bar = rest.find("|")
+            if bar == -1:
+                continue
+            f = _floats(rest[:bar].split(), 4)
+            if f is None:
+                continue
+            start = line_start + len(tag) + 1 + bar + 1
+            w_text = rest[bar + 1 :]
+            page.words.append(
+                Word(
+                    x0=f[0],
+                    x1=f[1],
+                    top=f[2],
+                    bottom=f[3],
+                    text=w_text,
+                    start=start,
+                    end=start + len(w_text),
+                )
+            )
+        elif tag == "%%TBL":
+            f = _floats(rest.split(), 4)
+            if f is not None:
+                table = TableRec(bbox=tuple(f))
+                page.tables.append(table)
+        elif tag == "%%ROW":
+            if table is not None:
+                table.rows.append(rest.split("|"))
+        # unknown %%-directives are skipped
+
+    return DocPayload(meta=meta, meta_error=meta_error, pages=pages, html=html, html_start=html_start)

@@ -1,0 +1,13 @@
+"""Logical plans: the end-to-end extraction pipeline and lineage/resume."""
+
+from .pipeline import (  # noqa: F401
+    parse_transcripts,
+    blocks_of,
+    formulas_of,
+    images_of,
+    tables_of,
+    meta_of,
+    segments_of,
+    turns_of,
+    extract_all,
+)

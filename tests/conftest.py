@@ -1,0 +1,20 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from metadatadocumentparser_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="mdp-spark-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra={"spark.sql.execution.arrow.maxRecordsPerBatch": "256"},
+    )
+    yield s
+    s.stop()
