@@ -1,0 +1,171 @@
+"""Deduplication operators over a text column.
+
+Scale notes (the point of each design):
+- exact: one hash-groupBy; map-side partial agg; no pair blowup ever.
+- n-gram Jaccard: the pair join is blocked on *shared shingles* and high-
+  document-frequency shingles are dropped first (df cap) — without that cap
+  a stop-shingle joins O(N²) pairs at 100 TB. The shingle explode is the
+  only shuffle-heavy step and it is linear in corpus size.
+- MinHash-LSH: constant-size signatures (NUM_HASHES md5 minima) replace the
+  full shingle sets; candidate generation joins on band keys only (classic
+  banding: P[candidate] ≈ 1-(1-j^r)^b). Linear shuffle, tiny rows.
+- SimHash: one fixed-width fingerprint per doc; near-dup = small Hamming
+  distance; bucketing on bit-masked prefixes keeps the join linear.
+
+All hashes are md5-hex (identical strings in Spark and DuckDB) so every
+step is oracle-checkable cross-engine — never engine-internal hash().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import fingerprint
+
+SHINGLE_K = 3
+NUM_HASHES = 8
+BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
+MAX_SHINGLE_DF = 50
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """id, shingle (distinct word-k-grams). Mirrors the DuckDB oracle:
+    words = split(text,' '); shingle i = words[i..i+k-1] joined by ' '."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {SHINGLE_K - 1}, 0)),"
+                    f" i -> array_join(slice(split({text_col}, ' '), i, {SHINGLE_K}), ' '))"
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per normalized-content hash."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"), F.min("id").alias("keeper"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.2
+) -> DataFrame:
+    """Candidate pairs by shared-shingle blocking, scored with exact
+    Jaccard = |A∩B| / (|A|+|B|−|A∩B|), rounded to 4 decimals."""
+    sh = with_shingles(df, id_col, text_col)
+    # df cap: drop shingles shared by too many docs (quadratic-blowup guard)
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    sh = sh.join(F.broadcast(rare.select("shingle")), "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # floor-scaled half-up: exact-rational jaccard hashes identically
+            # across engines (see functions.textstats.half_up_scaled)
+            F.floor(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) * 10000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("jaccard_e4"),
+        )
+        .where(F.col("jaccard_e4") >= int(threshold * 10000))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """id + h0..h{NUM_HASHES-1}: per-permutation minima of md5('<i>:'+shingle).
+    md5-hex minima are plain lexicographic string minima — portable."""
+    sh = with_shingles(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band bucket."""
+    sig = minhash_signatures(df, id_col, text_col)
+    r = NUM_HASHES // BANDS
+    band_rows = []
+    for b in range(BANDS):
+        key = F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]))
+        band_rows.append(sig.select("id", F.lit(b).alias("band"), key.alias("bkey")))
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash fingerprint: word hash = first 4 md5 hex chars → int;
+    bit b of the fingerprint = sign of Σ_words (±1). Fully native."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    ).where(F.col("w") != "")
+    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int")
+    w = w.select("id", h.alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = w.groupBy("id").agg(*sums)
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash, bucketed on the two
+    8-bit halves (a pair within distance ≤3 shares at least one half when
+    the differing bits land in one half; classic multi-index trick)."""
+    s = simhash(df, id_col, text_col).cache()
+    lo = s.select("id", (F.col("simhash").bitwiseAND(F.lit(0xFF))).alias("bucket"), "simhash")
+    hi = s.select("id", (F.shiftright("simhash", 8)).alias("bucket"), "simhash")
+    cand = (
+        lo.unionByName(hi)
+        .alias("a")
+        .join(lo.unionByName(hi).alias("b"), "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force baseline. The query side is tiny and broadcast;
+  the corpus side streams map-side — no shuffle except the final per-query
+  top-k (a Window over ≤ |queries|·|corpus| scored rows; at scale replace
+  the window with per-partition top-k + merge, which AQE approximates here).
+- lsh_cosine_topk: the scale path — random-hyperplane signs (deterministic
+  md5-derived hyperplanes) bucket the corpus; only same-bucket candidates
+  are scored. Sub-linear candidate sets at 100 TB; recall traded via
+  n_planes/probes.
+
+Dot products are computed on double-cast arrays left-to-right (zip_with +
+aggregate) so the DuckDB oracle (list_transform/list_sum over the same
+order) reproduces values; scores rounded to 4 decimals before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """For each query row: top-k corpus neighbors by cosine (excluding
+    self), deterministic tiebreak on neighbor id."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    )
+    c = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cosine")
+    )
+
+
+def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
+    """Deterministic LSH bucket id: sign pattern against pseudo-random
+    hyperplanes h_p[i] = (md5-derived int of (p,i)) centered at 0. The
+    hyperplane constants fold into the plan as literals — nothing random
+    at runtime, identical across runs/cluster sizes."""
+    import hashlib
+
+    def coef(p, i):
+        hx = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:8]
+        return (int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0
+
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + vec_col[i].cast("double") * F.lit(coef(p, i))
+        bucket = bucket + F.when(acc > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed ANN: score only corpus rows in the query's hyperplane
+    bucket. Returns the same shape as cosine_topk (recall < 1 by design)."""
+    b = hyperplane_bucket(F.col(vec_col), n_planes, dim)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), b.alias("bucket")
+        )
+    )
+    c = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), b.alias("bucket"))
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_ids: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold)."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if max_ids is not None:
+        e = e.where(F.col("id") < max_ids)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                4,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

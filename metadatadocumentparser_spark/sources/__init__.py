@@ -1,0 +1,3 @@
+"""Sources: parquet table loaders + transcript corpus builders."""
+
+from .tables import TESTDATA_TABLES, load_table  # noqa: F401
