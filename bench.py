@@ -1,0 +1,147 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+
+Headline load = the flagship extraction pipeline over a deterministic synth
+transcript corpus sized to the scale factor (~6M turns/sf → 600k at sf0.1),
+plus representative operator queries over $SPARK_GRAFT_SF_DIR testdata.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), MDP_BENCH_TURNS (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from metadatadocumentparser_spark import synth  # noqa: E402
+from metadatadocumentparser_spark.operators import dedup, sessionize, similarity  # noqa: E402
+from metadatadocumentparser_spark.plans import formulas_of, parse_transcripts, turns_of  # noqa: E402
+from metadatadocumentparser_spark.session import get_spark  # noqa: E402
+from metadatadocumentparser_spark.sources import load_table  # noqa: E402
+
+HOT_FACTOR = 100  # conv 0 carries 1000 turns — the skew exercise
+
+
+def corpus_path(sf: float, n_turns: int) -> str:
+    return f"/tmp/mdp_bench_corpus_sf{sf}_{n_turns}"
+
+
+def ensure_corpus(spark, sf: float, n_turns: int) -> str:
+    """Materialize the deterministic corpus once (generation excluded from
+    extraction timing)."""
+    path = corpus_path(sf, n_turns)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        n_convs = max(2, (n_turns - 10 * HOT_FACTOR) // 10)
+        df = synth.synth_df(spark, n_convs, hot_factor=HOT_FACTOR)
+        # 128 splits: fine enough granularity that a 32-core wave has no
+        # straggler tail (4 waves/core-set at the largest level)
+        df.repartition(128).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_extract(spark, path: str, timings: dict):
+    """Turns and formulas, each a single map-side pass (the parse kernel is
+    cheap enough that recomputation beats caching nested rows on-heap —
+    measured: persist(MEMORY_AND_DISK) of the parsed layer costs more than
+    a second kernel pass and wrecks GC at high parallelism)."""
+    df = spark.read.parquet(path)
+
+    t0 = time.monotonic()
+    row = turns_of(parse_transcripts(df, repartition=False)).agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("extracted_text")).alias("chars"),
+        F.sum(F.size("spans")).alias("spans"),
+    ).collect()[0]
+    timings["extract_turns"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    formulas_of(parse_transcripts(df, repartition=False)).agg(
+        F.count("*"), F.sum("confidence")
+    ).collect()
+    timings["extract_formulas"] = round(time.monotonic() - t0, 3)
+    return row["n"]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_turns = int(os.environ.get("MDP_BENCH_TURNS", str(int(6_000_000 * sf))))
+
+    spark = get_spark(app_name="mdp-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = ensure_corpus(spark, sf, n_turns)
+
+    timings = {}
+    n_rows = bench_extract(spark, path, timings)
+    turns_per_sec = round(
+        n_rows / (timings["extract_turns"] + timings["extract_formulas"]), 1
+    )
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    timed(
+        "tpch_q1",
+        lambda: li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.count("*"))
+        .collect(),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    timed(
+        "tpch_q3",
+        lambda: li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .orderBy(F.desc("rev"))
+        .limit(10)
+        .collect(),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    timed("minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text").count())
+    emb = load_table(spark, sf_dir, "embeddings")
+    timed(
+        "cosine_topk",
+        lambda: similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5).count(),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    timed("sessionize", lambda: sessionize.sessionize(ev).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+ops wall time (headline: turns/sec at sf)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns_per_sec": turns_per_sec,
+                "corpus_turns": n_rows,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,12 @@ NON_MATH_PATTERNS_JAVA = [
 ]
 
 
+# single-pass alternations (one regex scan instead of 6-7 per block; the
+# per-branch semantics of "any(re.search(p) for p in ...)" are identical)
+MATH_PATTERNS_COMBINED = "|".join(f"(?:{p})" for p in MATH_PATTERNS_JAVA)
+NON_MATH_PATTERNS_COMBINED = "|".join(f"(?:{p})" for p in NON_MATH_PATTERNS_JAVA)
+
+
 def _count_in_alphabet(col: Column, alphabet: str) -> Column:
     """Chars of col drawn from alphabet, via length − translate-delete."""
     return F.length(col) - F.length(F.translate(col, alphabet, ""))
@@ -65,10 +71,7 @@ def stripped_text(text: Column) -> Column:
 
 def is_formula_candidate(t: Column) -> Column:
     """P8 min-length (formula.py:69-70) + P7 negative regexes (:73)."""
-    neg = F.lit(False)
-    for p in NON_MATH_PATTERNS_JAVA:
-        neg = neg | t.rlike(p)
-    return (F.length(t) >= 2) & ~neg
+    return (F.length(t) >= 2) & ~t.rlike(NON_MATH_PATTERNS_COMBINED)
 
 
 def formula_score_cols(t: Column, font_size: Column, strict_mode: bool = False):
@@ -81,9 +84,7 @@ def formula_score_cols(t: Column, font_size: Column, strict_mode: bool = False):
 
     has_strong = _count_in_alphabet(t, STRONG_CHARS) > 0
 
-    any_pattern = F.lit(False)
-    for p in MATH_PATTERNS_JAVA:
-        any_pattern = any_pattern | t.rlike(p)
+    any_pattern = t.rlike(MATH_PATTERNS_COMBINED)
 
     fs_ok = font_size.isNotNull() & (font_size != 0.0)
 

@@ -30,7 +30,7 @@ PARSED_DDL = ", ".join(
         "role string",
         "tool string",
         "ts timestamp",
-        "text string",
+        "html_raw string",
         "is_html boolean",
         (
             "meta struct<title:string,author:string,subject:string,creator:string,"
@@ -91,6 +91,7 @@ def make_parse_kernel(
                     table_method=table_method,
                 )
                 is_html = parsed["html"] is not None
+                html_raw = parsed["html"] if is_html else None
                 if is_html:
                     segments = [
                         {
@@ -121,7 +122,7 @@ def make_parse_kernel(
                         "role": role,
                         "tool": tool,
                         "ts": ts,
-                        "text": text,
+                        "html_raw": html_raw,
                         "is_html": is_html,
                         "meta": {
                             **{k: m[k] for k in (
@@ -158,7 +159,7 @@ def make_parse_kernel(
             yield pd.DataFrame.from_records(
                 recs,
                 columns=[
-                    "conv_id", "turn_idx", "role", "tool", "ts", "text", "is_html",
+                    "conv_id", "turn_idx", "role", "tool", "ts", "html_raw", "is_html",
                     "meta", "column_layout", "extracted_text", "spans", "blocks",
                     "images", "tables", "segments",
                 ],

@@ -16,7 +16,7 @@ so one 10^6-turn conversation spreads over the whole cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.boilerplate import is_content
@@ -38,12 +38,26 @@ def parse_transcripts(
     footer_margin: float = 50,
     table_method: str = "camelot",
     num_partitions: int | None = None,
-    repartition: bool = True,
+    repartition: str | bool = "auto",
 ) -> DataFrame:
-    """Raw transcripts → parsed nested rows (kernel output)."""
-    if repartition:
-        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-        df = df.repartition(n, *_TURN_KEY)
+    """Raw transcripts → parsed nested rows (kernel output).
+
+    repartition:
+      - "auto" (default): repartition on (conv_id, turn_idx) only when the
+        input has fewer splits than the cluster parallelism. Size-balanced
+        file scans (parquet/Iceberg split by bytes) carry NO conversation
+        skew into the map-side kernel, so shuffling the full text corpus
+        up-front would be pure cost — the turn-key shuffle exists for
+        inputs that arrive clustered/bucketed by conv_id.
+      - True: always shuffle to turn-level keys (skewed/bucketed inputs).
+      - False: never.
+    """
+    sc = df.sparkSession.sparkContext
+    want = num_partitions or sc.defaultParallelism * 2
+    if repartition is True or (
+        repartition == "auto" and df.rdd.getNumPartitions() < sc.defaultParallelism
+    ):
+        df = df.repartition(want, *_TURN_KEY)
     kernel = make_parse_kernel(
         text_method=text_method,
         layout_aware=layout_aware,
@@ -75,35 +89,39 @@ def blocks_of(parsed: DataFrame) -> DataFrame:
 
 
 def formulas_of(parsed: DataFrame, strict_mode: bool = False) -> DataFrame:
-    """Formula stage (formula.py:17-169), fully native: P7/P8 filters,
-    F2 score, F5 LaTeX, W6 running formula_index via row_number over the
-    block order within each turn."""
-    b = parsed.select(*_TURN_KEY, F.explode("blocks").alias("b"))
-    t = stripped_text(F.col("b.text"))
-    b = b.select(
-        *_TURN_KEY,
-        F.col("b.block_idx").alias("block_idx"),
-        F.col("b.page_num").alias("page_num"),
-        F.col("b.bbox").alias("bbox"),
-        F.col("b.font_size").alias("font_size"),
-        t.alias("ftext"),
-    ).where(is_formula_candidate(F.col("ftext")))
-    score, confidence, passes = formula_score_cols(
-        F.col("ftext"), F.col("font_size"), strict_mode
-    )
-    w = Window.partitionBy(*_TURN_KEY).orderBy("block_idx")
-    return (
-        b.where(passes)
-        .withColumn("formula_index", F.row_number().over(w) - 1)
-        .select(
-            *_TURN_KEY,
-            "formula_index",
-            "page_num",
-            "bbox",
-            F.col("ftext").alias("formula_text"),
-            latex_heuristic(F.col("ftext")).alias("latex"),
+    """Formula stage (formula.py:17-169), fully native AND fully map-side:
+    P7/P8 filters + F2 score evaluated per array element (one projection),
+    passing blocks kept in block order inside the array, then posexplode —
+    the position within the filtered array IS the reference's running
+    formula_index (W6), with zero shuffle (the reference increments a
+    counter over blocks in order; array order is block order)."""
+    threshold = 0.8 if strict_mode else 0.7
+
+    def scored_elem(b):
+        t = stripped_text(b["text"])
+        score, confidence, _ = formula_score_cols(t, b["font_size"], strict_mode)
+        return F.struct(
+            b["page_num"].alias("page_num"),
+            b["bbox"].alias("bbox"),
+            t.alias("ftext"),
             confidence.alias("confidence"),
+            (is_formula_candidate(t) & (score >= threshold)).alias("passes"),
         )
+
+    passed = F.filter(
+        F.transform(F.col("blocks"), scored_elem), lambda x: x["passes"]
+    )
+    e = parsed.select(
+        *_TURN_KEY, F.posexplode(passed).alias("formula_index", "f")
+    )
+    return e.select(
+        *_TURN_KEY,
+        "formula_index",
+        F.col("f.page_num").alias("page_num"),
+        F.col("f.bbox").alias("bbox"),
+        F.col("f.ftext").alias("formula_text"),
+        latex_heuristic(F.col("f.ftext")).alias("latex"),
+        F.col("f.confidence").alias("confidence"),
     )
 
 
@@ -122,16 +140,16 @@ def meta_of(parsed: DataFrame) -> DataFrame:
     (native regexp_extract) in place of the trailer fields."""
     return parsed.select(
         *_TURN_KEY,
-        F.when(F.col("is_html"), html_title(F.col("text")))
+        F.when(F.col("is_html"), html_title(F.col("html_raw")))
         .otherwise(F.col("meta.title"))
         .alias("title"),
-        F.when(F.col("is_html"), html_author(F.col("text")))
+        F.when(F.col("is_html"), html_author(F.col("html_raw")))
         .otherwise(F.col("meta.author"))
         .alias("author"),
         F.col("meta.subject").alias("subject"),
         F.col("meta.creator").alias("creator"),
         F.col("meta.producer").alias("producer"),
-        F.when(F.col("is_html"), html_date(F.col("text")))
+        F.when(F.col("is_html"), html_date(F.col("html_raw")))
         .otherwise(F.col("meta.creation_date"))
         .alias("creation_date"),
         F.col("meta.modification_date").alias("modification_date"),
@@ -141,65 +159,66 @@ def meta_of(parsed: DataFrame) -> DataFrame:
     )
 
 
+def _classified_segments() -> "F.Column":
+    """Segments array with the boilerplate decision tree evaluated per
+    element. prev/next features come from neighboring ARRAY elements
+    (F.get: null-safe out-of-bounds → the tree's empty-block defaults) —
+    zero shuffle, versus the naive explode + Window.lag/lead shape which
+    re-shuffles every segment row."""
+    segs = F.col("segments")
+
+    def elem(x, i):
+        prev = F.get(segs, i - 1)
+        nxt = F.get(segs, i + 1)
+        return F.struct(
+            x["seg_idx"].alias("seg_idx"),
+            x["text"].alias("text"),
+            x["start"].alias("start"),
+            x["end"].alias("end"),
+            x["tag_path"].alias("tag_path"),
+            x["words"].alias("words"),
+            x["link_density"].alias("link_density"),
+            x["boiler_container"].alias("boiler_container"),
+            is_content(
+                x["words"],
+                x["link_density"],
+                F.coalesce(prev["words"], F.lit(0)),
+                F.coalesce(prev["link_density"], F.lit(0.0)),
+                F.coalesce(nxt["words"], F.lit(0)),
+                x["boiler_container"],
+            ).alias("is_content"),
+        )
+
+    return F.transform(segs, elem)
+
+
 def segments_of(parsed: DataFrame) -> DataFrame:
-    """HTML segments with the native boilerplate decision tree: prev/next
-    features via lag/lead over seg_idx within each turn."""
-    s = parsed.where(F.col("is_html")).select(*_TURN_KEY, F.explode("segments").alias("s"))
-    s = s.select(*_TURN_KEY, "s.*")
-    w = Window.partitionBy(*_TURN_KEY).orderBy("seg_idx")
-    return s.withColumn(
-        "is_content",
-        is_content(
-            F.col("words"),
-            F.col("link_density"),
-            F.lag("words", 1, 0).over(w),
-            F.lag("link_density", 1, 0.0).over(w),
-            F.lead("words", 1, 0).over(w),
-            F.col("boiler_container"),
-        ),
+    """HTML segments with the native boilerplate decision tree."""
+    s = parsed.where(F.col("is_html")).select(
+        *_TURN_KEY, F.explode(_classified_segments()).alias("s")
     )
+    return s.select(*_TURN_KEY, "s.*")
 
 
 def turns_of(parsed: DataFrame, segments: DataFrame | None = None) -> DataFrame:
     """Per-turn main-content text + char spans (the north-rule equality
     surface). PDF turns come straight from the kernel; HTML turns are
-    assembled natively from content segments (sorted by seg_idx inside an
-    array_sort — never relying on shuffle order)."""
-    pdf_turns = parsed.where(~F.col("is_html")).select(
-        *_TURN_KEY, "extracted_text", "spans", "column_layout"
+    assembled from content segments array-side — ONE projection over ONE
+    kernel pass, no join/union/window (array order is seg_idx order by
+    construction, never shuffle order)."""
+    content = F.filter(_classified_segments(), lambda x: x["is_content"])
+    html_text = F.array_join(F.transform(content, lambda x: x["text"]), "\n\n")
+    html_spans = F.transform(
+        content, lambda x: F.struct(x["start"].alias("start"), x["end"].alias("end"))
     )
-    segs = segments if segments is not None else segments_of(parsed)
-    html_agg = (
-        segs.where(F.col("is_content"))
-        .groupBy(*_TURN_KEY)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("seg_idx", "text", "start", F.col("end")))
-            ).alias("cs")
-        )
-        .select(
-            *_TURN_KEY,
-            F.array_join(F.transform("cs", lambda x: x["text"]), "\n\n").alias("extracted_text"),
-            F.transform(
-                "cs", lambda x: F.struct(x["start"].alias("start"), x["end"].alias("end"))
-            ).alias("spans"),
-        )
+    return parsed.select(
+        *_TURN_KEY,
+        F.when(F.col("is_html"), html_text)
+        .otherwise(F.col("extracted_text"))
+        .alias("extracted_text"),
+        F.when(F.col("is_html"), html_spans).otherwise(F.col("spans")).alias("spans"),
+        F.col("column_layout"),
     )
-    html_turns = (
-        parsed.where(F.col("is_html"))
-        .select(*_TURN_KEY)
-        .join(html_agg, list(_TURN_KEY), "left")
-        .select(
-            *_TURN_KEY,
-            F.coalesce(F.col("extracted_text"), F.lit("")).alias("extracted_text"),
-            F.coalesce(
-                F.col("spans"),
-                F.expr("CAST(array() AS array<struct<start:int,`end`:int>>)"),
-            ).alias("spans"),
-            F.lit(None).cast("string").alias("column_layout"),
-        )
-    )
-    return pdf_turns.unionByName(html_turns)
 
 
 def extract_all(df: DataFrame, strict_mode: bool = False, **parse_kwargs) -> dict:

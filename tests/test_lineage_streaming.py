@@ -1,0 +1,96 @@
+"""Lineage/resume + streaming + partition-invariance tests (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from metadatadocumentparser_spark import synth
+from metadatadocumentparser_spark.plans import extract_all, parse_transcripts, turns_of
+from metadatadocumentparser_spark.plans.lineage import (
+    read_output,
+    run_with_lineage,
+)
+
+N_CONVS = 12
+HOT = 5
+
+
+def _write_corpus(spark, path):
+    df = spark.createDataFrame(synth.synth_local(N_CONVS, HOT), schema=synth.TRANSCRIPT_DDL)
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return df
+
+
+def _sorted_turns(df):
+    return [
+        (r.conv_id, r.turn_idx, r.extracted_text, tuple((s.start, s.end) for s in r.spans))
+        for r in df.orderBy("conv_id", "turn_idx").collect()
+    ]
+
+
+def test_resume_skips_committed_and_output_identical(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    _write_corpus(spark, corpus)
+
+    # simulated kill after 3 of 6 buckets
+    r1 = run_with_lineage(spark, corpus, out, n_buckets=6, max_buckets=3)
+    assert len(r1["processed"]) == 3 and not r1["complete"]
+
+    # resume: must skip the committed 3, process the remaining 3
+    r2 = run_with_lineage(spark, corpus, out, n_buckets=6)
+    assert sorted(r2["skipped"]) == sorted(r1["processed"])
+    assert len(r2["processed"]) == 3 and r2["complete"]
+
+    # third run: nothing left
+    r3 = run_with_lineage(spark, corpus, out, n_buckets=6)
+    assert r3["processed"] == [] and r3["complete"]
+
+    # byte-identical to a direct single-pass run
+    direct = turns_of(parse_transcripts(spark.read.parquet(corpus)))
+    assert _sorted_turns(read_output(spark, out)) == _sorted_turns(direct)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from metadatadocumentparser_spark.streaming import extract_stream
+
+    corpus = str(tmp_path / "scorpus")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "ckpt")
+    _write_corpus(spark, corpus)
+
+    q = extract_stream(spark, corpus, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(os.path.join(out, "turns"))
+    direct = turns_of(parse_transcripts(spark.read.parquet(corpus)))
+    assert _sorted_turns(got) == _sorted_turns(direct)
+
+    # restart with no new files → no duplicates (checkpoint exactly-once)
+    q2 = extract_stream(spark, corpus, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "turns")).count() == direct.count()
+
+
+def test_partition_invariance(spark):
+    """Output must be invariant to input partitioning (north rule: stable
+    ordering is semantic, never an accident of shuffle order)."""
+    rows = synth.synth_local(10, hot_factor=5)
+    df = spark.createDataFrame(rows, schema=synth.TRANSCRIPT_DDL)
+    a = extract_all(df.repartition(2), repartition=False)
+    b = extract_all(df.repartition(23), repartition=True)
+    assert _sorted_turns(a["turns"]) == _sorted_turns(b["turns"])
+    fa = [
+        tuple(r)
+        for r in a["formulas"].orderBy("conv_id", "turn_idx", "formula_index").collect()
+    ]
+    fb = [
+        tuple(r)
+        for r in b["formulas"].orderBy("conv_id", "turn_idx", "formula_index").collect()
+    ]
+    assert fa == fb
+    ba = a["blocks"].groupBy("block_type").count().collect()
+    bb = b["blocks"].groupBy("block_type").count().collect()
+    assert sorted(map(tuple, ba)) == sorted(map(tuple, bb))

@@ -1,0 +1,94 @@
+"""Sinks: K1 canonical struct, K2 JSON, K3 TOON, K5 README contract,
+K6 image sink, A5 method comparison, K7 visualization."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from metadatadocumentparser_spark import synth
+from metadatadocumentparser_spark.operators.multimodal import attach_image_bytes
+from metadatadocumentparser_spark.plans import extract_all, images_of, parse_transcripts
+from metadatadocumentparser_spark.sinks import (
+    canonical_struct,
+    compare_export_formats,
+    compare_extraction_methods,
+    export_json,
+    export_toon,
+    save_images,
+    toon_encode,
+    visualize_columns,
+)
+
+N = 8
+
+
+def _df(spark):
+    return spark.createDataFrame(synth.synth_local(N, 5), schema=synth.TRANSCRIPT_DDL)
+
+
+def test_canonical_struct_and_json(spark):
+    outs = extract_all(_df(spark))
+    doc = canonical_struct(outs)
+    assert doc.count() == outs["turns"].count()
+    j = export_json(doc).orderBy("conv_id", "turn_idx").limit(3).collect()
+    d = json.loads(j[0].json)
+    # K1 field order/names (parser.py:207-271)
+    assert list(d["document"].keys() if "document" in d else d.keys()) == [
+        "metadata", "text_blocks", "images", "tables", "formulas",
+        "extraction_method", "column_layout",
+    ]
+    assert set(d["metadata"].keys()) == {
+        "title", "author", "subject", "creator", "producer", "creation_date",
+        "modification_date", "num_pages", "file_size", "page_sizes",
+    }
+
+
+def test_toon_roundtrip_shape(spark):
+    outs = extract_all(_df(spark))
+    doc = canonical_struct(outs)
+    rows = export_toon(doc, delimiter=",").limit(2).collect()
+    assert rows and "metadata:" in rows[0].toon
+    # tabular arrays get the '#' length marker
+    s = toon_encode({"xs": [{"a": 1, "b": 2}, {"a": 3, "b": 4}]})
+    assert "xs[#2]{a,b}:" in s
+
+
+def test_compare_export_formats_contract():
+    d = {"metadata": {"title": "t"}, "text_blocks": [{"text": "x", "page_num": 0}]}
+    r = compare_export_formats(d)
+    assert set(r.keys()) == {
+        "json_tokens", "json_size_bytes", "toon_comma_tokens",
+        "toon_comma_size_bytes", "toon_comma_savings_percent",
+        "toon_tab_tokens", "toon_tab_size_bytes", "toon_tab_savings_percent",
+        "best_format", "best_savings_percent",
+    }
+    assert r["best_format"] in ("toon_comma", "toon_tab")
+    assert r["toon_comma_savings_percent"] > 0  # the 10-60% README claim
+
+
+def test_save_images(spark, tmp_path):
+    parsed = parse_transcripts(_df(spark))
+    imgs = attach_image_bytes(images_of(parsed))
+    n = save_images(imgs, str(tmp_path / "imgs"))
+    assert n == imgs.count() and n > 0
+
+
+def test_compare_extraction_methods(spark):
+    r = compare_extraction_methods(_df(spark))
+    assert set(r["text_extraction"].keys()) == {"pymupdf", "pdfplumber"}
+    assert set(r["table_extraction"].keys()) == {"camelot", "tabula"}
+    for m in r["text_extraction"].values():
+        assert {"num_blocks", "total_chars", "time"} <= set(m.keys())
+    # both table methods see the same %%TBL records
+    assert (
+        r["table_extraction"]["camelot"]["num_tables"]
+        == r["table_extraction"]["tabula"]["num_tables"]
+    )
+
+
+def test_visualize_columns(spark):
+    viz = visualize_columns(_df(spark), n_turns=4)
+    assert len(viz) == 4
+    assert all("pages" in v for v in viz)

@@ -1,0 +1,173 @@
+"""Per-operator unit tests against hand-computed expectations
+(SURVEY.md §5.2 item 2): F1 boundaries, F2 weights + both thresholds +
+strict-mode zeroing, F5 replacement order, W5 tolerance, A2/A3 vote,
+P7 negatives — exercised on BOTH the Python oracle and the native engine
+expressions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadatadocumentparser_spark import oracle
+from metadatadocumentparser_spark.docparse import detect_column_layout, group_words_into_lines
+from metadatadocumentparser_spark.functions.classify import classify_block_type
+from metadatadocumentparser_spark.functions.formula import (
+    formula_score_cols,
+    is_formula_candidate,
+    stripped_text,
+)
+from metadatadocumentparser_spark.functions.latex import latex_heuristic
+from metadatadocumentparser_spark.payload import Word
+
+
+# ---------------------------------------------------------------- F1
+CLASSIFY_CASES = [
+    # (bbox, font_size, page_h, expected)  — thresholds layout.py:94-106
+    ((0, 10, 100, 30), 11.0, 792.0, "header"),      # y0 < 79.2
+    ((0, 79.2, 100, 700), 11.0, 792.0, "text"),     # exactly at boundary → not header
+    ((0, 100, 100, 713.0), 11.0, 792.0, "footer"),  # y1 > 712.8
+    ((0, 100, 100, 712.8), 11.0, 792.0, "text"),    # exactly 0.9·h → not footer
+    ((0, 100, 100, 200), 16.0, 792.0, "heading"),   # 16 is NOT > 16, but > 12
+    ((0, 100, 100, 200), 16.5, 792.0, "title"),
+    ((0, 100, 100, 200), 12.0, 792.0, "text"),      # 12 is NOT > 12
+    ((0, 100, 100, 200), 12.5, 792.0, "heading"),
+    ((0, 100, 100, 200), 0.0, 792.0, "text"),       # falsy font_size
+    ((0, 100, 100, 200), None, 792.0, "text"),
+    ((0, 10, 100, 200), 17.0, 792.0, "header"),     # header wins over title
+]
+
+
+def test_classify_oracle():
+    for bbox, fs, ph, want in CLASSIFY_CASES:
+        assert oracle.classify_block_type(bbox, fs, ph) == want, (bbox, fs)
+
+
+def test_classify_engine(spark):
+    rows = [([float(v) for v in bbox], fs, ph) for bbox, fs, ph, _ in CLASSIFY_CASES]
+    df = spark.createDataFrame(rows, "bbox array<double>, fs double, ph double")
+    got = [
+        r.bt
+        for r in df.select(
+            classify_block_type(F.col("bbox"), F.col("fs"), F.col("ph"), F.lit(True)).alias("bt")
+        ).collect()
+    ]
+    assert got == [w for *_, w in CLASSIFY_CASES]
+
+
+# ---------------------------------------------------------------- F2
+FORMULA_CASES = [
+    # (text, font_size, strict, expected_pass)
+    ("E = mc^2", None, False, True),          # strong '=' + patterns + density
+    ("x", None, False, False),                # len < 2 (P8)
+    ("Fig. 3", None, False, False),           # P7 negative
+    ("Table 12", None, False, False),
+    ("2023-01-01", None, False, False),
+    ("Page 7", None, False, False),
+    ("see https://x.org", None, False, False),
+    ("Chapter 1", None, False, False),
+    ("hello world", None, False, False),
+    ("a/b", None, False, True),               # fraction+chars+density bonus
+    ("α + β", None, False, True),
+    ("word soup plain", 9.0, False, False),   # small font alone not enough
+]
+
+
+def test_formula_oracle():
+    for text, fs, strict, want in FORMULA_CASES:
+        got, _ = oracle.formula_score(text, fs, strict)
+        assert got == want, (text, got)
+
+
+def test_formula_engine(spark):
+    df = spark.createDataFrame(
+        [(t, fs) for t, fs, _, _ in FORMULA_CASES], "t string, fs double"
+    )
+    t = stripped_text(F.col("t"))
+    _s, _c, passes = formula_score_cols(t, F.col("fs"), False)
+    got = [
+        r.p
+        for r in df.select((is_formula_candidate(t) & passes).alias("p")).collect()
+    ]
+    assert got == [w for *_, w in FORMULA_CASES]
+
+
+def test_formula_strict_mode():
+    # density < 0.3 and no strong indicator → zeroed in strict mode
+    text = "x_i plus something y_j t"
+    ok_normal, s_normal = oracle.formula_score(text, None, False)
+    ok_strict, s_strict = oracle.formula_score(text, None, True)
+    assert s_normal > 0 and ok_normal
+    assert s_strict == 0.0 and not ok_strict
+    # strong indicator survives strict but needs the 0.8 threshold
+    ok2, s2 = oracle.formula_score("∑ x", None, True)
+    assert ok2 and s2 >= 0.8
+
+
+def test_formula_score_weights():
+    # pure char count: "(((" → 3 chars · 0.1 + density bonus path
+    _, s = oracle.formula_score("(((", None, False)
+    assert s == pytest.approx(3 * 0.1 + 0.4)  # len<50, density 1.0 > 0.2
+    # '=' alone: 1 char·0.1 + strong 0.6 → below 0.7? plus density bonus 0.4
+    ok, s = oracle.formula_score("= a", None, False)
+    assert s == pytest.approx(0.1 + 0.6 + 0.4) and ok
+
+
+# ---------------------------------------------------------------- F5
+LATEX_CASES = [
+    ("α + β", r"$\alpha + \beta$"),
+    ("x^2", "$x^{2}$"),
+    ("x_i", "$x_{i}$"),
+    ("√x", r"$\sqrtx$"),                      # √ maps before regexes; no braces
+    ("$already$", "$already$"),               # no double wrap
+    ("Δx ≤ ∞", r"$\Deltax \leq \infty$"),
+    ("a_b_c", "$a_{b}_{c}$"),                 # non-overlapping sequential sub
+]
+
+
+def test_latex_oracle():
+    for src, want in LATEX_CASES:
+        assert oracle.text_to_latex_heuristic(src) == want, src
+
+
+def test_latex_engine(spark):
+    df = spark.createDataFrame([(t,) for t, _ in LATEX_CASES], "t string")
+    got = [r.l for r in df.select(latex_heuristic(F.col("t")).alias("l")).collect()]
+    assert got == [w for _, w in LATEX_CASES]
+
+
+# ---------------------------------------------------------------- W5
+def _w(top, x0=0.0, text="w"):
+    return Word(x0=x0, x1=x0 + 5, top=top, bottom=top + 10, text=text, start=0, end=1)
+
+
+def test_word_line_grouping_tolerance():
+    # tolerance 3, compared against the FIRST word of the line (text.py:214)
+    words = [_w(100.0), _w(102.9), _w(103.1), _w(110.0)]
+    lines = group_words_into_lines(words)
+    # 102.9 joins (≤3); 103.1 exceeds vs 100 → new line even though it is
+    # within 3 of 102.9 (reference keeps current_y fixed per line)
+    assert [len(l) for l in lines] == [2, 1, 1]
+    words2 = [_w(100.0), _w(103.0)]  # exactly 3 → same line
+    assert [len(l) for l in group_words_into_lines(words2)] == [2]
+
+
+# ---------------------------------------------------------------- A2/A3
+def _blk(x0, x1, page=0):
+    return {"bbox": [x0, 0.0, x1, 10.0], "page_num": page}
+
+
+def test_layout_vote():
+    assert detect_column_layout([]) == "single"
+    # <3 blocks → 1 column
+    assert detect_column_layout([_blk(0, 10), _blk(300, 310)]) == "single"
+    # 6 centers, one dominant gap → double
+    blocks = [_blk(60 + i * 7, 60 + i * 7 + 10) for i in range(3)] + [
+        _blk(330 + i * 7, 330 + i * 7 + 10) for i in range(3)
+    ]
+    assert detect_column_layout(blocks) == "double"
+    # 9 centers in 3 clusters → multi
+    blocks3 = [
+        _blk(c + i * 7, c + i * 7 + 10) for c in (42, 302, 562) for i in range(3)
+    ]
+    assert detect_column_layout(blocks3) == "multi"

