@@ -79,10 +79,15 @@ def main():
         sf = 0.1
     n_turns = int(os.environ.get("MDP_BENCH_TURNS", str(int(6_000_000 * sf))))
 
+    # corpus generation in a throwaway session: 600k synth turns leave
+    # enough GC/heap residue to distort the measured extraction timings
+    gen = get_spark(app_name="mdp-bench-gen", master=f"local[{cpus}]")
+    gen.sparkContext.setLogLevel("ERROR")
+    path = ensure_corpus(gen, sf, n_turns)
+    gen.stop()
+
     spark = get_spark(app_name="mdp-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-
-    path = ensure_corpus(spark, sf, n_turns)
 
     timings = {}
     n_rows = bench_extract(spark, path, timings)

@@ -221,18 +221,24 @@ def turns_of(parsed: DataFrame, segments: DataFrame | None = None) -> DataFrame:
     )
 
 
-def extract_all(df: DataFrame, strict_mode: bool = False, **parse_kwargs) -> dict:
-    """Full parse() analogue: returns dict of output DataFrames sharing one
-    parsed intermediate (cache it for multi-output materialization)."""
+def extract_all(
+    df: DataFrame, strict_mode: bool = False, ocr_strategy=None, **parse_kwargs
+) -> dict:
+    """Full parse() analogue: returns dict of output DataFrames derived
+    from one parsed intermediate. ocr_strategy (ExternalOCR, §2.11) post-
+    processes formulas executor-side; None keeps the pure-native path."""
+    from ..ocr import apply_ocr
+
     parsed = parse_transcripts(df, **parse_kwargs)
-    segments = segments_of(parsed)
     return {
         "parsed": parsed,
-        "turns": turns_of(parsed, segments),
+        "turns": turns_of(parsed),
         "blocks": blocks_of(parsed),
-        "formulas": formulas_of(parsed, strict_mode=strict_mode),
+        "formulas": apply_ocr(
+            formulas_of(parsed, strict_mode=strict_mode), ocr_strategy
+        ),
         "images": images_of(parsed),
         "tables": tables_of(parsed),
         "meta": meta_of(parsed),
-        "segments": segments,
+        "segments": segments_of(parsed),
     }

@@ -203,6 +203,15 @@ def export_toon(doc_struct: DataFrame, delimiter: str = ",") -> DataFrame:
     )
 
 
+def export(doc_struct: DataFrame, format: str = "toon", delimiter: str = ",") -> DataFrame:
+    """K4 format dispatcher (parser.py:295-305)."""
+    if format.lower() == "json":
+        return export_json(doc_struct)
+    if format.lower() == "toon":
+        return export_toon(doc_struct, delimiter=delimiter)
+    raise ValueError(f"Unsupported format: {format}. Use 'toon' or 'json'")
+
+
 def _count_tokens(s: str) -> int:
     """~4 chars/token approximation (stand-in for the toon_format tokenizer
     when the package is absent)."""

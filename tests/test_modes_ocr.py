@@ -1,0 +1,126 @@
+"""Golden equality for the non-default parse modes (pdfplumber word-line
+sessionization, simple layout-aware, non-layout-aware, strict formulas) and
+the OCR strategy seam (§2.11) + spark-submit job."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from metadatadocumentparser_spark import oracle, synth
+from metadatadocumentparser_spark.ocr import DebugOCR, MathpixOCR
+from metadatadocumentparser_spark.plans import extract_all
+
+N, HOT = 14, 5
+
+
+def _rows():
+    return synth.synth_local(N, hot_factor=HOT)
+
+
+def _df(spark):
+    return spark.createDataFrame(_rows(), schema=synth.TRANSCRIPT_DDL)
+
+
+def _turns(df):
+    return [
+        (r.conv_id, r.turn_idx, r.extracted_text,
+         tuple((s.start, s.end) for s in r.spans), r.column_layout)
+        for r in df.orderBy("conv_id", "turn_idx").collect()
+    ]
+
+
+def _golden_turns(rows, **kw):
+    g = oracle.oracle_corpus(rows, **kw)
+    return [
+        (t["conv_id"], t["turn_idx"], t["extracted_text"],
+         tuple((s["start"], s["end"]) for s in t["spans"]), t["column_layout"])
+        for t in g["turns"]
+    ]
+
+
+def _mode_check(spark, **kw):
+    got = _turns(extract_all(_df(spark), **kw)["turns"])
+    want = _golden_turns(_rows(), **kw)
+    assert got == want
+
+
+def test_pdfplumber_mode(spark):
+    _mode_check(spark, text_method="pdfplumber")
+
+
+def test_simple_layout_mode(spark):
+    _mode_check(spark, column_aware=False)
+
+
+def test_plain_mode(spark):
+    _mode_check(spark, layout_aware=False, column_aware=False)
+
+
+def test_unknown_method_empty(spark):
+    outs = extract_all(_df(spark), text_method="nope")
+    assert outs["blocks"].count() == 0
+
+
+def test_strict_formulas(spark):
+    rows = _rows()
+    outs = extract_all(_df(spark), strict_mode=True)
+    got = [
+        (r.conv_id, r.turn_idx, r.formula_index, r.formula_text, r.latex, r.confidence)
+        for r in outs["formulas"].orderBy("conv_id", "turn_idx", "formula_index").collect()
+    ]
+    g = oracle.oracle_corpus(rows, strict_mode=True)
+    want = [
+        (f["conv_id"], f["turn_idx"], f["formula_index"], f["formula_text"],
+         f["latex"], f["confidence"])
+        for f in g["formulas"]
+    ]
+    assert got == want
+    # strict can only prune (strict-mode-specific rejection is covered by
+    # test_units.test_formula_strict_mode on crafted inputs)
+    normal = oracle.oracle_corpus(rows, strict_mode=False)
+    assert len(want) <= len(normal["formulas"])
+
+
+def test_ocr_seam(spark):
+    outs = extract_all(_df(spark), ocr_strategy=DebugOCR())
+    rows = outs["formulas"].limit(5).collect()
+    assert rows and all(r.latex.startswith("\\ocr{") for r in rows)
+    assert all(r.image_bytes is not None for r in rows)
+    # Mathpix path: no network → heuristic fallback (latex unchanged)
+    outs2 = extract_all(_df(spark), ocr_strategy=MathpixOCR("id", "key"))
+    r2 = outs2["formulas"].limit(3).collect()
+    assert all(r.latex.startswith("$") for r in r2)
+    req = MathpixOCR("id", "key").build_request(b"png")
+    assert req["url"].endswith("/v3/text") and req["timeout"] == 10
+
+
+def test_spark_submit_job(spark, tmp_path):
+    """The north rule's launch path: spark-submit --py-files engine.zip."""
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    df = _df(spark)
+    df.repartition(2).write.mode("overwrite").parquet(corpus)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "engine.zip")
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", zip_path,
+         os.path.join(repo, "metadatadocumentparser_spark")],
+        check=True,
+    )
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", zip_path,
+         os.path.join(repo, "jobs", "extract.py"),
+         "--input", corpus, "--output", out, "--buckets", "3"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["complete"] and len(report["processed"]) == 3
+    got = spark.read.parquet(os.path.join(out, "turns"))
+    assert got.count() == df.count()

@@ -52,7 +52,8 @@ def _norm(v):
 def _multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), v) for v in t),
     ), [cols[i] for i in order]
 
 
