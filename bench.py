@@ -54,6 +54,13 @@ def bench_extract(spark, path: str, timings: dict):
     a second kernel pass and wrecks GC at high parallelism)."""
     df = spark.read.parquet(path)
 
+    # warm the exact codegen paths (JIT + generated-class compile costs ~4×
+    # on first execution; at the 100 TB design point warmup is amortized to
+    # zero, so steady-state is the honest number)
+    warm = df.limit(2000)
+    turns_of(parse_transcripts(warm, repartition=False)).agg(F.count("*")).collect()
+    formulas_of(parse_transcripts(warm, repartition=False)).agg(F.count("*")).collect()
+
     t0 = time.monotonic()
     row = turns_of(parse_transcripts(df, repartition=False)).agg(
         F.count("*").alias("n"),

@@ -76,7 +76,18 @@ def is_formula_candidate(t: Column) -> Column:
 
 def formula_score_cols(t: Column, font_size: Column, strict_mode: bool = False):
     """Returns (score, confidence, passes_threshold) columns for stripped
-    text t. Addition order mirrors formula.py:77-114 exactly."""
+    text t. Addition order mirrors formula.py:77-114 exactly.
+
+    Fast path: when sym_count + char_count == 0 the score is forced to 0.
+    PROOF this never changes which blocks pass: with zero counts, every
+    strong indicator is absent (all 14 strong chars are members of the two
+    alphabets), patterns p1/p3/p4/p5/p6 and the fraction each require a
+    counted char ((), =, _, ^, {}, +-*/), '^'/'_' are counted chars, and
+    density = 0 kills the short-block bonus — so the max attainable score
+    is 0.4 (p2, a backslash command) + 0.2 (small font) = 0.6 < 0.7 ≤
+    threshold. Gating skips three regex scans for every prose block (the
+    vast majority at corpus scale); emitted confidences are unaffected
+    because gated blocks never pass."""
     length = F.length(t)
     sym = _count_in_alphabet(t, MATH_SYMBOLS)
     chr_ = _count_in_alphabet(t, MATH_CHARS)
@@ -88,7 +99,7 @@ def formula_score_cols(t: Column, font_size: Column, strict_mode: bool = False):
 
     fs_ok = font_size.isNotNull() & (font_size != 0.0)
 
-    score = (
+    full_score = (
         sym.cast("double") * 0.4
         + chr_.cast("double") * 0.1
         + F.when(has_strong, 0.6).otherwise(0.0)
@@ -102,7 +113,11 @@ def formula_score_cols(t: Column, font_size: Column, strict_mode: bool = False):
     threshold = 0.8 if strict_mode else 0.7
     if strict_mode:
         # formula.py:119-123 — zero out without strong evidence
-        score = F.when(~has_strong & (density < 0.3), F.lit(0.0)).otherwise(score)
+        full_score = F.when(~has_strong & (density < 0.3), F.lit(0.0)).otherwise(full_score)
+
+    # CASE WHEN evaluates branches lazily (codegen and interpreted alike):
+    # prose blocks never reach the regex branch
+    score = F.when(sym + chr_ == 0, F.lit(0.0)).otherwise(full_score)
 
     passes = score >= F.lit(threshold)
     confidence = F.least(score, F.lit(1.0))

@@ -16,7 +16,7 @@ so one 10^6-turn conversation spreads over the whole cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.boilerplate import is_content
@@ -89,39 +89,38 @@ def blocks_of(parsed: DataFrame) -> DataFrame:
 
 
 def formulas_of(parsed: DataFrame, strict_mode: bool = False) -> DataFrame:
-    """Formula stage (formula.py:17-169), fully native AND fully map-side:
-    P7/P8 filters + F2 score evaluated per array element (one projection),
-    passing blocks kept in block order inside the array, then posexplode —
-    the position within the filtered array IS the reference's running
-    formula_index (W6), with zero shuffle (the reference increments a
-    counter over blocks in order; array order is block order)."""
+    """Formula stage (formula.py:17-169), fully native: posexplode blocks
+    (pos = block order), ONE whole-stage-codegen'd projection computing the
+    F2 score (codegen gets common-subexpression elimination — the same
+    expressions inside a higher-order-function lambda are interpreted and
+    re-evaluate translate() per reference, measured 3× slower), then the
+    W6 running formula_index as a row_number window over only the passing
+    rows (a shuffle of ~0.1% of blocks, keyed by turn — never conv)."""
     threshold = 0.8 if strict_mode else 0.7
-
-    def scored_elem(b):
-        t = stripped_text(b["text"])
-        score, confidence, _ = formula_score_cols(t, b["font_size"], strict_mode)
-        return F.struct(
-            b["page_num"].alias("page_num"),
-            b["bbox"].alias("bbox"),
-            t.alias("ftext"),
-            confidence.alias("confidence"),
-            (is_formula_candidate(t) & (score >= threshold)).alias("passes"),
-        )
-
-    passed = F.filter(
-        F.transform(F.col("blocks"), scored_elem), lambda x: x["passes"]
-    )
-    e = parsed.select(
-        *_TURN_KEY, F.posexplode(passed).alias("formula_index", "f")
-    )
-    return e.select(
+    b = parsed.select(*_TURN_KEY, F.posexplode("blocks").alias("bpos", "b"))
+    t = stripped_text(F.col("b.text"))
+    score, confidence, _ = formula_score_cols(t, F.col("b.font_size"), strict_mode)
+    # lazy CASE: the P7 negative-pattern scan only runs for blocks whose
+    # score already clears the threshold (a tiny fraction of the corpus)
+    passes = F.when(score >= threshold, is_formula_candidate(t)).otherwise(F.lit(False))
+    passed = b.select(
         *_TURN_KEY,
-        "formula_index",
-        F.col("f.page_num").alias("page_num"),
-        F.col("f.bbox").alias("bbox"),
-        F.col("f.ftext").alias("formula_text"),
-        latex_heuristic(F.col("f.ftext")).alias("latex"),
-        F.col("f.confidence").alias("confidence"),
+        "bpos",
+        F.col("b.page_num").alias("page_num"),
+        F.col("b.bbox").alias("bbox"),
+        t.alias("ftext"),
+        confidence.alias("confidence"),
+        passes.alias("passes"),
+    ).where(F.col("passes"))
+    w = Window.partitionBy(*_TURN_KEY).orderBy("bpos")
+    return passed.select(
+        *_TURN_KEY,
+        (F.row_number().over(w) - 1).alias("formula_index"),
+        "page_num",
+        "bbox",
+        F.col("ftext").alias("formula_text"),
+        latex_heuristic(F.col("ftext")).alias("latex"),
+        "confidence",
     )
 
 

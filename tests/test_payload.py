@@ -1,0 +1,55 @@
+"""Payload tokenizer: span offsets are exact, malformed input never raises."""
+
+from __future__ import annotations
+
+from metadatadocumentparser_spark.payload import parse_payload
+
+
+def test_span_offsets_exact():
+    text = "%%PAGE 100 200\n%%BLK 0 0 10 10\n%%LN 0 0 10 8 1 0\n%%SP 12 Times|hello world"
+    doc = parse_payload(text)
+    sp = doc.pages[0].blocks[0].lines[0].spans[0]
+    assert text[sp.start : sp.end] == "hello world" == sp.text
+    assert sp.size == 12.0 and sp.font == "Times"
+
+
+def test_word_offsets_exact():
+    text = "%%PAGE 100 200\n%%WORD 1 2 3 4|tok"
+    w = parse_payload(text).pages[0].words[0]
+    assert text[w.start : w.end] == "tok"
+    assert (w.x0, w.x1, w.top, w.bottom) == (1.0, 2.0, 3.0, 4.0)
+
+
+def test_html_offsets():
+    text = "%%DOC title=t\n%%HTML\n<p>abc</p>"
+    doc = parse_payload(text)
+    assert doc.html == "<p>abc</p>"
+    assert text[doc.html_start :] == doc.html
+
+
+def test_malformed_never_raises():
+    cases = [
+        "",
+        "%%",
+        "%%PAGE",
+        "%%PAGE x y",
+        "%%BLK 1 2 3",          # missing coord
+        "%%SP 12 Times|orphan",  # span without page/block/line
+        "%%LN 0 0 1 1 1 0",      # line without block
+        "%%IMG 1 2 3 4 5",       # short image
+        "%%ROW a|b",             # row without table
+        "%%UNKNOWN stuff",
+        "%%DOC not_a_key=1",
+        "\x00\x01\x02",
+        "%%PAGE 10 10\n%%BLK 0 0 5 5\n%%LN 0 0 5 5 1 0\n%%SP nofloat Times|x",
+    ]
+    for c in cases:
+        doc = parse_payload(c)  # must not raise
+        assert doc is not None
+
+
+def test_doc_error_flag():
+    doc = parse_payload("%%DOC title=ok;bogus=1")
+    assert doc.meta is None and doc.meta_error
+    ok = parse_payload("%%DOC title=ok;author=a")
+    assert ok.meta == {"title": "ok", "author": "a"} and not ok.meta_error

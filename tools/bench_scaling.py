@@ -36,8 +36,10 @@ spark = get_spark(app_name=f"mdp-scale-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet(path)
-# warmup: JIT + python worker pool, tiny slice
-turns_of(parse_transcripts(df.limit(500), repartition=False)).count()
+# warmup: JIT + codegen compile + python worker pool for BOTH query shapes
+warm = df.limit(2000)
+turns_of(parse_transcripts(warm, repartition=False)).count()
+formulas_of(parse_transcripts(warm, repartition=False)).count()
 
 t0 = time.monotonic()
 row = turns_of(parse_transcripts(df, repartition=False)).agg(
