@@ -1,0 +1,55 @@
+"""Winnowing fingerprints + IVF ANN: determinism, overlap detection,
+recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadatadocumentparser_spark.operators.fingerprint import (
+    _winnow_one,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+from metadatadocumentparser_spark.operators.ivf import ivf_cosine_topk
+from metadatadocumentparser_spark.operators.similarity import cosine_topk
+from metadatadocumentparser_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_winnow_pure():
+    a = _winnow_one("the quick brown fox jumps over the lazy dog " * 4)
+    assert a == _winnow_one("the quick brown fox jumps over the lazy dog " * 4)
+    assert len(a) > 0
+    assert _winnow_one("short") == []
+    # shared substring ⇒ shared fingerprints
+    doc1 = "prefix AAA " + "common shared passage of text here " * 3 + "tail one"
+    doc2 = "other start " + "common shared passage of text here " * 3 + "different"
+    assert set(_winnow_one(doc1)) & set(_winnow_one(doc2))
+
+
+def test_winnow_spark(spark):
+    docs = load_table(spark, SF, "documents")
+    fp = winnow_fingerprints(docs, "doc_id", "text")
+    assert fp.count() > 0
+    # deterministic across partitionings
+    a = sorted(map(tuple, fp.collect()))
+    b = sorted(map(tuple, winnow_fingerprints(docs.repartition(7), "doc_id", "text").collect()))
+    assert a == b
+    pairs = winnow_overlap_pairs(docs, "doc_id", "text", min_shared=2)
+    assert pairs.count() >= 0
+    assert set(pairs.columns) == {"id_a", "id_b", "shared"}
+
+
+def test_ivf_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = {(r.qid, r.nid) for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {(r.qid, r.nid) for r in ivf_cosine_topk(emb, q, k=5, n_list=8, n_probe=4).collect()}
+    # probing half the lists should recover a solid share of true neighbors
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.4, recall
+    # ivf output shape matches the brute-force contract
+    r = ivf_cosine_topk(emb, q, k=3, n_list=8, n_probe=8)  # probe-all ⇒ exact
+    exact = {(x.qid, x.rank, x.nid) for x in cosine_topk(emb, q, k=3).collect()}
+    assert {(x.qid, x.rank, x.nid) for x in r.collect()} == exact
