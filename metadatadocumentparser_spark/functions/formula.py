@@ -26,8 +26,10 @@ MATH_CHARS = "+-*/=()[]{}^_∈∉⊂⊃∪∩|<>;:!%"
 # formula.py:39 — all strong indicators are single chars → one alphabet
 STRONG_CHARS = "=∫∑∏√∂∇≈≠≤≥∞∈∉"
 
-# formula.py:43-50 — positive patterns (Java-dialect-safe forms; `{`
-# escaped for the Java parser, semantics unchanged)
+# formula.py:43-50 — positive patterns (`{` escaped for the Java parser,
+# semantics unchanged). All are evaluated under `(?U)`
+# (UNICODE_CHARACTER_CLASS) so Java's \s/\d/\w behave like Python's re
+# (NBSP is \s, Greek letters are \w, etc.).
 MATH_PATTERNS_JAVA = [
     r"[a-zA-Z]\s*\([a-zA-Z0-9,\s]+\)\s*=",
     r"\\[a-zA-Z]+",
@@ -36,12 +38,11 @@ MATH_PATTERNS_JAVA = [
     r"[a-zA-Z]_[a-zA-Z0-9]",
     r"[0-9]+\s*[\+\-\*\/]\s*[0-9]+",
 ]
-# formula.py:105 uses Python \w (unicode); Java \w is ASCII-only, so use
-# explicit unicode classes to match the oracle on Greek-adjacent fractions.
-MATH_FRACTION_JAVA = r"[\p{L}\p{N}_]+/[\p{L}\p{N}_]+"
+# formula.py:105 uses Python \w (unicode)
+MATH_FRACTION_JAVA = r"(?U)\w+/\w+"
 
-# formula.py:54-62 — negative patterns (identical in both dialects; both
-# Python and Java `$` match before a final line terminator)
+# formula.py:54-62 — negative patterns (both Python and Java `$` match
+# before a final line terminator)
 NON_MATH_PATTERNS_JAVA = [
     r"Fig\.\s*\d+",
     r"Table\s*\d+",
@@ -54,9 +55,12 @@ NON_MATH_PATTERNS_JAVA = [
 
 
 # single-pass alternations (one regex scan instead of 6-7 per block; the
-# per-branch semantics of "any(re.search(p) for p in ...)" are identical)
-MATH_PATTERNS_COMBINED = "|".join(f"(?:{p})" for p in MATH_PATTERNS_JAVA)
-NON_MATH_PATTERNS_COMBINED = "|".join(f"(?:{p})" for p in NON_MATH_PATTERNS_JAVA)
+# per-branch semantics of "any(re.search(p) for p in ...)" are identical);
+# (?U) applies to the whole alternation
+MATH_PATTERNS_COMBINED = "(?U)" + "|".join(f"(?:{p})" for p in MATH_PATTERNS_JAVA)
+NON_MATH_PATTERNS_COMBINED = "(?U)" + "|".join(
+    f"(?:{p})" for p in NON_MATH_PATTERNS_JAVA
+)
 
 
 def _count_in_alphabet(col: Column, alphabet: str) -> Column:
@@ -65,8 +69,10 @@ def _count_in_alphabet(col: Column, alphabet: str) -> Column:
 
 
 def stripped_text(text: Column) -> Column:
-    """block.text.strip() (formula.py:67) — full-whitespace trim."""
-    return F.regexp_replace(text, r"^\s+|\s+$", "")
+    """block.text.strip() (formula.py:67). Python str.strip() strips the
+    Unicode White_Space set plus \\x1c-\\x1f; (?U)\\s covers the former,
+    the explicit range the latter."""
+    return F.regexp_replace(text, r"(?U)^[\s\x1c-\x1f]+|[\s\x1c-\x1f]+$", "")
 
 
 def is_formula_candidate(t: Column) -> Column:

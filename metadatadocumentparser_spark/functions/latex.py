@@ -39,8 +39,9 @@ def latex_heuristic(text: Column) -> Column:
         x = F.replace(x, F.lit(src), F.lit(dst))
     for src, dst in SYMBOL_MAP:
         x = F.replace(x, F.lit(src), F.lit(dst))
-    # utils.py:59-63 — a^b → a^{b}, a_b → a_{b}
-    x = F.regexp_replace(x, r"\^([\p{L}\p{N}_])", r"^{$1}")
-    x = F.regexp_replace(x, r"_([\p{L}\p{N}_])", r"_{$1}")
+    # utils.py:59-63 — a^b → a^{b}, a_b → a_{b}; (?U) makes Java \w match
+    # Python's unicode \w
+    x = F.regexp_replace(x, r"(?U)\^(\w)", r"^{$1}")
+    x = F.regexp_replace(x, r"(?U)_(\w)", r"_{$1}")
     # utils.py:66-67 — wrap in math mode
     return F.when(x.startswith("$"), x).otherwise(F.concat(F.lit("$"), x, F.lit("$")))
