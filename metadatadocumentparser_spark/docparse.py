@@ -377,9 +377,15 @@ def parse_turn(
     header_margin: float = 50,
     footer_margin: float = 50,
     table_method: str = "camelot",
+    extract_text: bool = True,
+    extract_images_flag: bool = True,
+    extract_tables_flag: bool = True,
 ):
     """Full structural parse of one turn (the parse() plan, parser.py:56-125,
-    minus the natively-computed classify/formula stages).
+    minus the natively-computed classify/formula stages). The extract_*
+    flags skip whole stages exactly like parse()'s kwargs (parser.py:84-114
+    — a skipped text stage also leaves column_layout unset and starves the
+    formula stage downstream).
 
     Returns dict with keys: meta, blocks, images, tables, column_layout,
     extracted_text, spans, html, html_start.
@@ -387,13 +393,17 @@ def parse_turn(
     doc = parse_payload(text)
     file_size = len(text.encode("utf-8"))
     meta = extract_metadata(doc, file_size)
-    blocks = extract_blocks(
-        doc, text_method, layout_aware, column_aware, header_margin, footer_margin
+    blocks = (
+        extract_blocks(
+            doc, text_method, layout_aware, column_aware, header_margin, footer_margin
+        )
+        if extract_text
+        else []
     )
     for i, b in enumerate(blocks):
         b["block_idx"] = i
-    images = extract_images(doc)
-    tables = extract_tables(doc, table_method)
+    images = extract_images(doc) if extract_images_flag else []
+    tables = extract_tables(doc, table_method) if extract_tables_flag else []
     column_layout = detect_column_layout(blocks) if blocks else None
     extracted_text = "\n\n".join(b["text"] for b in blocks)
     spans = [[b["span_start"], b["span_end"]] for b in blocks]

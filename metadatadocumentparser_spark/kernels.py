@@ -69,6 +69,9 @@ def make_parse_kernel(
     header_margin: float = 50,
     footer_margin: float = 50,
     table_method: str = "camelot",
+    extract_text: bool = True,
+    extract_images_flag: bool = True,
+    extract_tables_flag: bool = True,
 ):
     """Returns the mapInPandas function for the given parse flags (the
     reference parse() kwargs, parser.py:56-68). Flags are plain closure
@@ -89,6 +92,9 @@ def make_parse_kernel(
                     header_margin=header_margin,
                     footer_margin=footer_margin,
                     table_method=table_method,
+                    extract_text=extract_text,
+                    extract_images_flag=extract_images_flag,
+                    extract_tables_flag=extract_tables_flag,
                 )
                 is_html = parsed["html"] is not None
                 html_raw = parsed["html"] if is_html else None

@@ -154,6 +154,9 @@ def oracle_turn(
     header_margin: float = 50,
     footer_margin: float = 50,
     table_method: str = "camelot",
+    extract_text: bool = True,
+    extract_images_flag: bool = True,
+    extract_tables_flag: bool = True,
 ):
     """Golden output for one turn: dict of output-table rows."""
     parsed = docparse.parse_turn(
@@ -164,6 +167,9 @@ def oracle_turn(
         header_margin=header_margin,
         footer_margin=footer_margin,
         table_method=table_method,
+        extract_text=extract_text,
+        extract_images_flag=extract_images_flag,
+        extract_tables_flag=extract_tables_flag,
     )
     key = {"conv_id": conv_id, "turn_idx": turn_idx}
     out = {"turns": [], "blocks": [], "formulas": [], "images": [], "tables": [], "meta": [], "segments": []}

@@ -37,6 +37,9 @@ def parse_transcripts(
     header_margin: float = 50,
     footer_margin: float = 50,
     table_method: str = "camelot",
+    extract_text: bool = True,
+    extract_images_flag: bool = True,
+    extract_tables_flag: bool = True,
     num_partitions: int | None = None,
     repartition: str | bool = "auto",
 ) -> DataFrame:
@@ -65,6 +68,9 @@ def parse_transcripts(
         header_margin=header_margin,
         footer_margin=footer_margin,
         table_method=table_method,
+        extract_text=extract_text,
+        extract_images_flag=extract_images_flag,
+        extract_tables_flag=extract_tables_flag,
     )
     return df.mapInPandas(kernel, schema=PARSED_DDL)
 

@@ -124,3 +124,18 @@ def test_spark_submit_job(spark, tmp_path):
     assert report["complete"] and len(report["processed"]) == 3
     got = spark.read.parquet(os.path.join(out, "turns"))
     assert got.count() == df.count()
+
+
+def test_stage_skip_flags(spark):
+    """parse() stage flags (parser.py:84-114): a skipped text stage starves
+    formulas and leaves column_layout unset; images/tables skip cleanly."""
+    outs = extract_all(_df(spark), extract_text=False)
+    assert outs["blocks"].count() == 0
+    assert outs["formulas"].count() == 0
+    t = outs["turns"].limit(5).collect()
+    assert all(r.column_layout is None for r in t)
+    assert extract_all(_df(spark), extract_images_flag=False)["images"].count() == 0
+    assert extract_all(_df(spark), extract_tables_flag=False)["tables"].count() == 0
+    # golden-mode: oracle with the same flags agrees
+    g = oracle.oracle_corpus(_rows(), extract_images_flag=False)
+    assert len(g["images"]) == 0 and len(g["blocks"]) > 0
