@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..synth import TRANSCRIPT_DDL
 from ..plans.pipeline import parse_transcripts, turns_of
@@ -40,3 +41,46 @@ def extract_stream(
     else:
         q = writer.start()
     return q
+
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Event-time tumbling-window aggregation with a watermark for late
+    data: counts + value sums per (window, event_type), append mode (a
+    window emits once its watermark passes — late events beyond the
+    watermark are dropped, the standard bounded-state contract)."""
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

@@ -94,3 +94,53 @@ def test_partition_invariance(spark):
     ba = a["blocks"].groupBy("block_type").count().collect()
     bb = b["blocks"].groupBy("block_type").count().collect()
     assert sorted(map(tuple, ba)) == sorted(map(tuple, bb))
+
+
+def test_windowed_watermark_stream(spark, tmp_path):
+    """Event-time window + watermark: append-mode output equals the batch
+    aggregation for all closed windows (availableNow drains everything, so
+    every window closes)."""
+    import os
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.streaming.stream import windowed_event_counts
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    indir = str(tmp_path / "ev")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    spark.read.parquet(src).repartition(3).write.mode("overwrite").parquet(indir)
+
+    q = windowed_event_counts(spark, indir, out, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(indir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    # append mode emits a window only once the watermark passes it — the
+    # final windows (within `watermark` of max event time) stay open and
+    # are correctly withheld. Closed windows must match batch exactly.
+    max_ts = spark.read.parquet(indir).agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    closed_batch = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in batch.collect()
+        if r.window_end <= cutoff
+    }
+    got_map = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in got.collect()}
+    assert closed_batch, "no closed windows — weak test"
+    for k, v in closed_batch.items():
+        assert got_map.get(k) == v, k
+    # nothing emitted that batch doesn't have
+    batch_all = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    for k, v in got_map.items():
+        assert batch_all[k] == v, k
