@@ -61,20 +61,34 @@ def bench_extract(spark, path: str, timings: dict):
     turns_of(parse_transcripts(warm, repartition=False)).agg(F.count("*")).collect()
     formulas_of(parse_transcripts(warm, repartition=False)).agg(F.count("*")).collect()
 
-    t0 = time.monotonic()
-    row = turns_of(parse_transcripts(df, repartition=False)).agg(
-        F.count("*").alias("n"),
-        F.sum(F.length("extracted_text")).alias("chars"),
-        F.sum(F.size("spans")).alias("spans"),
-    ).collect()[0]
-    timings["extract_turns"] = round(time.monotonic() - t0, 3)
+    # min-of-2 per query: single-JVM local mode on shared hardware shows
+    # sporadic 2-3× slowdowns (GC phase / noisy neighbors); the minimum is
+    # the steady-state number (same policy as tools/bench_scaling.py)
+    n_rows = 0
 
-    t0 = time.monotonic()
-    formulas_of(parse_transcripts(df, repartition=False)).agg(
-        F.count("*"), F.sum("confidence")
-    ).collect()
-    timings["extract_formulas"] = round(time.monotonic() - t0, 3)
-    return row["n"]
+    def run_turns():
+        nonlocal n_rows
+        row = turns_of(parse_transcripts(df, repartition=False)).agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("extracted_text")).alias("chars"),
+            F.sum(F.size("spans")).alias("spans"),
+        ).collect()[0]
+        n_rows = row["n"]
+
+    def run_formulas():
+        formulas_of(parse_transcripts(df, repartition=False)).agg(
+            F.count("*"), F.sum("confidence")
+        ).collect()
+
+    for name, fn in (("extract_turns", run_turns), ("extract_formulas", run_formulas)):
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+    return n_rows
 
 
 def main():
