@@ -45,8 +45,15 @@ def main(argv=None):
     from metadatadocumentparser_spark.plans.lineage import run_with_lineage
 
     if args.no_lineage:
+        from metadatadocumentparser_spark.plans import extract_all_materialized
+
         df = spark.read.parquet(args.input)
-        outs = extract_all(df, strict_mode=args.strict, text_method=args.text_method)
+        # parsed layer staged once → the Python kernel runs exactly once
+        # for all 7 output tables
+        outs = extract_all_materialized(
+            df, f"{args.output}/_parsed", strict_mode=args.strict,
+            text_method=args.text_method,
+        )
         for name in ("turns", "blocks", "formulas", "images", "tables", "meta", "segments"):
             outs[name].write.mode("overwrite").parquet(f"{args.output}/{name}")
         report = {"mode": "single-pass", "turns": spark.read.parquet(f"{args.output}/turns").count()}

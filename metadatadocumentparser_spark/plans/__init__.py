@@ -9,5 +9,7 @@ from .pipeline import (  # noqa: F401
     meta_of,
     segments_of,
     turns_of,
+    outputs_of,
     extract_all,
+    extract_all_materialized,
 )

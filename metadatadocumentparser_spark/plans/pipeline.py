@@ -226,15 +226,12 @@ def turns_of(parsed: DataFrame, segments: DataFrame | None = None) -> DataFrame:
     )
 
 
-def extract_all(
-    df: DataFrame, strict_mode: bool = False, ocr_strategy=None, **parse_kwargs
-) -> dict:
-    """Full parse() analogue: returns dict of output DataFrames derived
-    from one parsed intermediate. ocr_strategy (ExternalOCR, §2.11) post-
-    processes formulas executor-side; None keeps the pure-native path."""
+def outputs_of(parsed: DataFrame, strict_mode: bool = False, ocr_strategy=None) -> dict:
+    """Derive every output table from a parsed DataFrame (lazy — each
+    output materialization re-executes parsed's lineage unless parsed is
+    itself a materialized read; see extract_all_materialized)."""
     from ..ocr import apply_ocr
 
-    parsed = parse_transcripts(df, **parse_kwargs)
     return {
         "parsed": parsed,
         "turns": turns_of(parsed),
@@ -247,3 +244,32 @@ def extract_all(
         "meta": meta_of(parsed),
         "segments": segments_of(parsed),
     }
+
+
+def extract_all(
+    df: DataFrame, strict_mode: bool = False, ocr_strategy=None, **parse_kwargs
+) -> dict:
+    """Full parse() analogue: returns dict of output DataFrames derived
+    from one parsed intermediate. ocr_strategy (ExternalOCR, §2.11) post-
+    processes formulas executor-side; None keeps the pure-native path."""
+    parsed = parse_transcripts(df, **parse_kwargs)
+    return outputs_of(parsed, strict_mode=strict_mode, ocr_strategy=ocr_strategy)
+
+
+def extract_all_materialized(
+    df: DataFrame,
+    staging_path: str,
+    strict_mode: bool = False,
+    ocr_strategy=None,
+    **parse_kwargs,
+) -> dict:
+    """extract_all with the parsed layer materialized ONCE to parquet and
+    re-read: when all 7 output tables are written, the Python parse kernel
+    runs exactly one time instead of once per output (on-heap caching of
+    the nested rows measured slower than parquet round-trip + re-read; at
+    100 TB the staging write is also the natural recovery point)."""
+    parsed = parse_transcripts(df, **parse_kwargs)
+    parsed.write.mode("overwrite").parquet(staging_path)
+    spark = df.sparkSession
+    materialized = spark.read.parquet(staging_path)
+    return outputs_of(materialized, strict_mode=strict_mode, ocr_strategy=ocr_strategy)

@@ -144,3 +144,18 @@ def test_windowed_watermark_stream(spark, tmp_path):
     batch_all = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
     for k, v in got_map.items():
         assert batch_all[k] == v, k
+
+
+def test_extract_all_materialized(spark, tmp_path):
+    """Materialized variant equals the lazy variant on every output table."""
+    from metadatadocumentparser_spark.plans import extract_all_materialized
+
+    rows = synth.synth_local(8, 4)
+    df = spark.createDataFrame(rows, schema=synth.TRANSCRIPT_DDL)
+    lazy = extract_all(df)
+    mat = extract_all_materialized(df, str(tmp_path / "staged"))
+    assert _sorted_turns(mat["turns"]) == _sorted_turns(lazy["turns"])
+    for tbl in ("blocks", "formulas", "images", "tables", "meta", "segments"):
+        a = sorted(map(str, lazy[tbl].collect()))
+        b = sorted(map(str, mat[tbl].collect()))
+        assert a == b, tbl
