@@ -404,7 +404,10 @@ def parse_turn(
         b["block_idx"] = i
     images = extract_images(doc) if extract_images_flag else []
     tables = extract_tables(doc, table_method) if extract_tables_flag else []
-    column_layout = detect_column_layout(blocks) if blocks else None
+    # pymupdf mode votes whenever blocks exist (parser.py:91-92); pdfplumber
+    # mode votes only when column_aware (parser.py:95-96)
+    wants_layout = text_method == "pymupdf" or column_aware
+    column_layout = detect_column_layout(blocks) if blocks and wants_layout else None
     extracted_text = "\n\n".join(b["text"] for b in blocks)
     spans = [[b["span_start"], b["span_end"]] for b in blocks]
     return {
