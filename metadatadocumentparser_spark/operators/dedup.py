@@ -147,6 +147,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return agg.select("id", fp.alias("simhash"))
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Label-propagation connected components over undirected candidate
+    pairs (id_a, id_b): every node ends with its component's minimum id as
+    label. The iterative join is the classic Spark shape for transitive
+    closure (converges in O(diameter) rounds; near-dup clusters are tiny so
+    2-4 rounds in practice). Deterministic — min() is order-free.
+
+    Used for dedup clustering: one keeper (the label) per near-dup cluster.
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).cache()
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).cache()
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.id_a == labels.id).select(
+            F.col("id_b").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """MinHash-LSH candidates → connected components → (id, label) where
+    label = cluster keeper (minimum id). Only ids that appear in at least
+    one candidate pair are returned (everything else is its own keeper)."""
+    return connected_components(minhash_lsh_pairs(df, id_col, text_col))
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash, bucketed on the two
     8-bit halves (a pair within distance ≤3 shares at least one half when
