@@ -27,3 +27,26 @@ def test_conversation_content(spark):
         for s, (ti, t) in zip(r.conv_spans, want_turns):
             assert s.turn_idx == ti
             assert r.conv_text[s.start : s.end] == t
+
+
+def test_salted_equals_unsalted(spark):
+    """Salted two-phase conv aggregation is output-identical to the direct
+    one (the salt affects the physical plan only)."""
+    from metadatadocumentparser_spark.operators.reassembly import (
+        salted_conversation_content,
+    )
+
+    rows = synth.synth_local(8, hot_factor=20)  # conv 0 = 200 turns (hot)
+    df = spark.createDataFrame(rows, schema=synth.TRANSCRIPT_DDL)
+    turns = turns_of(parse_transcripts(df))
+
+    def norm(d):
+        return sorted(
+            (r.conv_id, r.n_turns, r.conv_text,
+             tuple((s.turn_idx, s.start, s.end) for s in r.conv_spans))
+            for r in d.collect()
+        )
+
+    assert norm(salted_conversation_content(turns, 16)) == norm(
+        conversation_content(turns)
+    )
