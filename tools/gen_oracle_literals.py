@@ -11,9 +11,14 @@ Usage: python tools/gen_oracle_literals.py
 
 from __future__ import annotations
 
+import hashlib
+import json
+import math
 import os
 import sys
-from collections import Counter
+from collections import Counter, defaultdict
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,6 +42,92 @@ def _values_sql(rows, cols_ddl):
 
     vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     return f"SELECT * FROM (VALUES {vals}) AS t({cols_ddl})"
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _jdump(obj) -> str:
+    """Byte-identical to Spark to_json (no spaces, struct-field order)."""
+    return json.dumps(obj, separators=(",", ":"))
+
+
+def _conversation_rows(turns):
+    """Independent reassembly: conv digests matching operators.reassembly
+    (turn texts joined by '\\n\\n', spans re-offset into the conv string)."""
+    by_conv = defaultdict(list)
+    for t in turns:
+        by_conv[t["conv_id"]].append(t)
+    out = []
+    for conv_id in sorted(by_conv):
+        ts = sorted(by_conv[conv_id], key=lambda t: t["turn_idx"])
+        conv_text = "\n\n".join(t["extracted_text"] for t in ts)
+        spans, off = [], 0
+        for t in ts:
+            n = len(t["extracted_text"])
+            spans.append({"turn_idx": t["turn_idx"], "start": off, "end": off + n})
+            off += n + 2
+        out.append(
+            (conv_id, len(ts), len(conv_text), _md5(conv_text), _md5(_jdump(spans)))
+        )
+    return out
+
+
+def _turn_digest_rows(turns):
+    return [
+        (
+            t["conv_id"],
+            t["turn_idx"],
+            _md5(t["extracted_text"]),
+            _md5(_jdump([{"start": s["start"], "end": s["end"]} for s in t["spans"]])),
+            t["column_layout"] or "none",
+        )
+        for t in turns
+    ]
+
+
+def _meta_rows(meta):
+    return [
+        (
+            m["conv_id"],
+            m["turn_idx"],
+            m["title"] if m["title"] is not None else "∅",
+            m["author"] if m["author"] is not None else "∅",
+            m["creation_date"] if m["creation_date"] is not None else "∅",
+            m["modification_date"] if m["modification_date"] is not None else "∅",
+            m["num_pages"] if m["num_pages"] is not None else -1,
+            m["file_size"] if m["file_size"] is not None else -1,
+        )
+        for m in meta
+    ]
+
+
+def _multimodal_rows(images, n_features: int = 8):
+    """Replicates operators.multimodal attach_image_bytes + decode_images
+    (fake=True): md5-derived bytes → float32 byte histogram → e4 ints."""
+    out = []
+    for im in images:
+        key = f"{im['conv_id']}:{im['turn_idx']}:{im['page_num']}:{im['image_index']}"
+        blob = bytes.fromhex(hashlib.md5(key.encode()).hexdigest())
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        hist = np.bincount(arr % n_features, minlength=n_features).astype(np.float32)
+        feats = hist / float(arr.size)  # float32, same dtype path as the kernel
+        e4 = [int(math.floor(float(v) * 10000.0 + 0.5)) for v in feats]
+        out.append(
+            (
+                im["conv_id"],
+                im["turn_idx"],
+                im["page_num"],
+                im["image_index"],
+                im["width"],
+                im["height"],
+                im["ext"],
+                len(blob),
+                _jdump(e4),
+            )
+        )
+    return out
 
 
 def main():
@@ -68,6 +159,24 @@ def main():
         ),
         "transcripts_segments_content": _values_sql(
             sorted(seg.items()), "is_content, cnt"
+        ),
+        "conversation_content": _values_sql(
+            _conversation_rows(g["turns"]),
+            "conv_id, n_turns, n_chars, text_md5, spans_md5",
+        ),
+        "transcripts_extract_turns": _values_sql(
+            _turn_digest_rows(g["turns"]),
+            "conv_id, turn_idx, text_md5, spans_md5, layout",
+        ),
+        "transcripts_meta": _values_sql(
+            _meta_rows(g["meta"]),
+            "conv_id, turn_idx, title, author, creation_date, modification_date, "
+            "num_pages, file_size",
+        ),
+        "multimodal_image_features": _values_sql(
+            _multimodal_rows(g["images"]),
+            "conv_id, turn_idx, page_num, image_index, width, height, ext, "
+            "n_bytes, features_e4",
         ),
     }
 
