@@ -60,11 +60,14 @@ def ngram_jaccard_pairs(
     """Candidate pairs by shared-shingle blocking, scored with exact
     Jaccard = |A∩B| / (|A|+|B|−|A∩B|), rounded to 4 decimals."""
     sh = with_shingles(df, id_col, text_col)
-    # df cap: drop shingles shared by too many docs (quadratic-blowup guard)
+    # df cap: drop shingles shared by too many docs (quadratic-blowup guard).
+    # No broadcast hints here: the rare-shingle and per-doc-size tables grow
+    # linearly with the corpus — forcing them driver-side would OOM at scale.
+    # AQE picks broadcast automatically when a side is actually small.
     rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
         F.col("df") <= MAX_SHINGLE_DF
     )
-    sh = sh.join(F.broadcast(rare.select("shingle")), "shingle")
+    sh = sh.join(rare.select("shingle"), "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
     pairs = (
         sh.alias("a")
@@ -76,8 +79,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -180,6 +183,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # non-convergence must not masquerade as a result: a component with
+        # diameter > max_iter would return intermediate (wrong) labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter"
+        )
     sym.unpersist()
     return labels
 
@@ -191,25 +201,60 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return connected_components(minhash_lsh_pairs(df, id_col, text_col))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance on SimHash, bucketed on the two
-    8-bit halves (a pair within distance ≤3 shares at least one half when
-    the differing bits land in one half; classic multi-index trick)."""
-    s = simhash(df, id_col, text_col).cache()
-    lo = s.select("id", (F.col("simhash").bitwiseAND(F.lit(0xFF))).alias("bucket"), "simhash")
-    hi = s.select("id", (F.shiftright("simhash", 8)).alias("bucket"), "simhash")
+def near_pairs_from_fingerprints(
+    fps: DataFrame, max_hamming: int = 3, bits: int = 16
+) -> DataFrame:
+    """Multi-index Hamming join over (id, simhash) rows.
+
+    The fingerprint is split into ``max_hamming + 1`` bit blocks — by
+    pigeonhole, any pair within Hamming distance ``max_hamming`` has at
+    least one block with zero differing bits, so joining on (block index,
+    block value) finds EVERY qualifying pair (recall 1.0). The block index
+    is part of the join key so a low-block value can never equi-join a
+    high-block value (wasted candidates otherwise). The exact bit_count
+    filter restores precision. Join volume stays linear: each side is
+    |fps|·(max_hamming+1) tiny rows bucketed by block value.
+    """
+    n_blocks = max_hamming + 1
+    base, rem = divmod(bits, n_blocks)
+    branches, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        mask = (1 << w) - 1
+        branches.append(
+            fps.select(
+                "id",
+                "simhash",
+                F.lit(i).alias("blk"),
+                F.shiftright("simhash", off).bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+        )
+        off += w
+    b = branches[0]
+    for extra in branches[1:]:
+        b = b.unionByName(extra)
     cand = (
-        lo.unionByName(hi)
-        .alias("a")
-        .join(lo.unionByName(hi).alias("b"), "bucket")
+        b.alias("a")
+        .join(b.alias("b"), ["blk", "bval"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash (exact result set:
+    multi-index blocking has recall 1.0 for distance ≤ max_hamming, and the
+    bit_count filter gives precision 1.0). The signature table is cached —
+    at corpus scale you would materialize it once instead (it is reused by
+    the four block branches on both join sides)."""
+    return near_pairs_from_fingerprints(
+        simhash(df, id_col, text_col).cache(), max_hamming=max_hamming, bits=16
+    )

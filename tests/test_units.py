@@ -171,3 +171,36 @@ def test_layout_vote():
         _blk(c + i * 7, c + i * 7 + 10) for c in (42, 302, 562) for i in range(3)
     ]
     assert detect_column_layout(blocks3) == "multi"
+
+
+# ---------------------------------------------------------------- SimHash multi-index
+def test_simhash_multi_index_recall(spark):
+    """The 4×4-bit multi-index must find EVERY pair with hamming ≤ 3 —
+    including pairs whose differing bits straddle block boundaries (the
+    two-8-bit-halves bug: 1 bit in each half shares neither half)."""
+    from itertools import combinations
+
+    from metadatadocumentparser_spark.operators.dedup import near_pairs_from_fingerprints
+
+    fps = [
+        0x0000,
+        0x0101,  # vs 0x0000: 1 bit in lo half, 1 in hi half (old code missed)
+        0x1110,  # vs 0x0000: 3 bits spread over 3 different 4-bit blocks
+        0x8001,  # vs 0x0000: highest + lowest bit
+        0x00FF, 0x0F0F, 0xFFFF, 0x0001, 0x8000, 0x1234, 0x1235, 0x9234,
+    ]
+    df = spark.createDataFrame(
+        [(i, fp) for i, fp in enumerate(fps)], "id int, simhash bigint"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in near_pairs_from_fingerprints(df, max_hamming=3, bits=16).collect()
+    }
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in combinations(range(len(fps)), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    # the straddling pairs must be present
+    assert (0, 1, 2) in want and (0, 2, 3) in want and (0, 3, 2) in want
+    assert got == want
