@@ -129,15 +129,41 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     max_ids: int | None = None,
+    method: str = "lsh",
+    n_planes: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold)."""
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    method="lsh" (default, the scale path): candidates are restricted to
+    pairs sharing a hyperplane-LSH bucket — the join volume is linear in
+    the corpus (bucket-keyed equi-join), recall < 1 by design (a genuinely
+    near-dup pair at high threshold almost always lands in one bucket;
+    tune n_planes down / add probes for more recall).
+
+    method="exact": all-pairs theta join — a cartesian product with a
+    predicate. NEVER call this unbounded on a large corpus; require an
+    explicit max_ids cap.
+    """
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if max_ids is not None:
         e = e.where(F.col("id") < max_ids)
-    a, b = e.alias("a"), e.alias("b")
+    if method == "lsh":
+        e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim))
+        joined = e.alias("a").join(e.alias("b"), "bucket").where(
+            F.col("a.id") < F.col("b.id")
+        )
+    elif method == "exact":
+        if max_ids is None:
+            raise ValueError(
+                "embedding_near_dup_pairs(method='exact') is an all-pairs "
+                "cartesian join; pass max_ids to bound it explicitly"
+            )
+        joined = e.alias("a").join(e.alias("b"), F.col("a.id") < F.col("b.id"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
+        joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
@@ -147,4 +173,4 @@ def embedding_near_dup_pairs(
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-    )
+    )  # no distinct needed: each id has exactly one bucket, pairs are unique
