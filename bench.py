@@ -48,27 +48,38 @@ def ensure_corpus(spark, sf: float, n_turns: int) -> str:
 
 
 def bench_extract(spark, path: str, timings: dict):
-    """Turns and formulas, each a single map-side pass (the parse kernel is
-    cheap enough that recomputation beats caching nested rows on-heap —
-    measured: persist(MEMORY_AND_DISK) of the parsed layer costs more than
-    a second kernel pass and wrecks GC at high parallelism)."""
+    """The multi-output path a 100 TB job takes (jobs/extract.py /
+    extract_all_materialized): ONE Python kernel pass materialized to a
+    parquet staging layer, every output table derived from the staged
+    (columnar, column-pruned) read. Nobody pays N kernel passes for N
+    outputs. Reported per stage:
+      parse_stage       — kernel + staging write (min-of-2, steady state)
+      extract_turns     — turns aggregate from the staged layer
+      extract_formulas  — formula stage from the staged layer
+    plus cold_first_run_sec (first execution incl. codegen/JIT compile,
+    which amortizes to zero at scale)."""
     df = spark.read.parquet(path)
+    staging = path + "_parsed_stage"
 
-    # warm the exact codegen paths (JIT + generated-class compile costs ~4×
-    # on first execution; at the 100 TB design point warmup is amortized to
-    # zero, so steady-state is the honest number)
-    warm = df.limit(2000)
-    turns_of(parse_transcripts(warm, repartition=False)).agg(F.count("*")).collect()
-    formulas_of(parse_transcripts(warm, repartition=False)).agg(F.count("*")).collect()
+    # warm the exact codegen paths on a slice (generated-class compile)
+    warm = parse_transcripts(df.limit(2000), repartition=False)
+    warm.write.mode("overwrite").parquet(staging)
+    wst = spark.read.parquet(staging)
+    turns_of(wst).agg(F.count("*")).collect()
+    formulas_of(wst).agg(F.count("*")).collect()
 
-    # min-of-2 per query: single-JVM local mode on shared hardware shows
+    # min-of-2 per stage: single-JVM local mode on shared hardware shows
     # sporadic 2-3× slowdowns (GC phase / noisy neighbors); the minimum is
     # the steady-state number (same policy as tools/bench_scaling.py)
     n_rows = 0
+    cold = 0.0
+
+    def run_parse():
+        parse_transcripts(df, repartition=False).write.mode("overwrite").parquet(staging)
 
     def run_turns():
         nonlocal n_rows
-        row = turns_of(parse_transcripts(df, repartition=False)).agg(
+        row = turns_of(spark.read.parquet(staging)).agg(
             F.count("*").alias("n"),
             F.sum(F.length("extracted_text")).alias("chars"),
             F.sum(F.size("spans")).alias("spans"),
@@ -76,18 +87,26 @@ def bench_extract(spark, path: str, timings: dict):
         n_rows = row["n"]
 
     def run_formulas():
-        formulas_of(parse_transcripts(df, repartition=False)).agg(
+        formulas_of(spark.read.parquet(staging)).agg(
             F.count("*"), F.sum("confidence")
         ).collect()
 
-    for name, fn in (("extract_turns", run_turns), ("extract_formulas", run_formulas)):
+    stages = (
+        ("parse_stage", run_parse),
+        ("extract_turns", run_turns),
+        ("extract_formulas", run_formulas),
+    )
+    for name, fn in stages:
         best = None
-        for _ in range(2):
+        for i in range(2):
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
+            if i == 0:
+                cold += dt
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+    timings["cold_first_run_sec"] = round(cold, 3)
     return n_rows
 
 
@@ -113,7 +132,13 @@ def main():
     timings = {}
     n_rows = bench_extract(spark, path, timings)
     turns_per_sec = round(
-        n_rows / (timings["extract_turns"] + timings["extract_formulas"]), 1
+        n_rows
+        / (
+            timings["parse_stage"]
+            + timings["extract_turns"]
+            + timings["extract_formulas"]
+        ),
+        1,
     )
 
     def timed(name, fn):
@@ -151,7 +176,7 @@ def main():
     ev = load_table(spark, sf_dir, "events")
     timed("sessionize", lambda: sessionize.sessionize(ev).count())
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for k, v in timings.items() if k != "cold_first_run_sec"), 3)
     print(
         json.dumps(
             {

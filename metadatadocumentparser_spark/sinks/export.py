@@ -251,9 +251,14 @@ def compare_export_formats(doc_dict: dict) -> dict:
 
 def save_images(images_with_bytes: DataFrame, output_dir: str) -> int:
     """K6: write image_{page}_{idx}.{ext} files (parser.py:348-364).
-    foreachPartition binary writes; at table scale prefer keeping the
-    BinaryType column in the output table instead (SURVEY.md K6)."""
+
+    LOCAL-MODE ONLY: foreachPartition writes to executor-local disk, which
+    is the driver's disk only in local mode — on a real cluster use the
+    binary-column table sink instead (SURVEY.md K6). The returned count is
+    the number of rows actually written this call (tracked by accumulator),
+    not a directory listing that would also count pre-existing files."""
     os.makedirs(output_dir, exist_ok=True)
+    written = images_with_bytes.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows):
         for r in rows:
@@ -262,9 +267,10 @@ def save_images(images_with_bytes: DataFrame, output_dir: str) -> int:
             name = f"image_{r.conv_id}_{r.turn_idx}_{r.page_num}_{r.image_index}.{r.ext}"
             with open(os.path.join(output_dir, name), "wb") as f:
                 f.write(bytes(r.image_bytes))
+            written.add(1)
 
     images_with_bytes.foreachPartition(write_part)
-    return len(os.listdir(output_dir))
+    return written.value
 
 
 def compare_extraction_methods(df: DataFrame) -> dict:
