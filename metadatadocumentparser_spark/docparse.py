@@ -390,8 +390,31 @@ def parse_turn(
     Returns dict with keys: meta, blocks, images, tables, column_layout,
     extracted_text, spans, html, html_start.
     """
-    doc = parse_payload(text)
-    file_size = len(text.encode("utf-8"))
+    return parse_doc(parse_payload(text), len(text.encode("utf-8")),
+                     text_method=text_method, layout_aware=layout_aware,
+                     column_aware=column_aware, header_margin=header_margin,
+                     footer_margin=footer_margin, table_method=table_method,
+                     extract_text=extract_text,
+                     extract_images_flag=extract_images_flag,
+                     extract_tables_flag=extract_tables_flag)
+
+
+def parse_doc(
+    doc: DocPayload,
+    file_size: int,
+    text_method: str = "pymupdf",
+    layout_aware: bool = True,
+    column_aware: bool = True,
+    header_margin: float = 50,
+    footer_margin: float = 50,
+    table_method: str = "camelot",
+    extract_text: bool = True,
+    extract_images_flag: bool = True,
+    extract_tables_flag: bool = True,
+):
+    """parse_turn's engine over an already-built DocPayload — the seam the
+    real-PDF adapter (sources/fitz_adapter.py) plugs into: any ingestion
+    path that produces DocPayload gets the full extraction pipeline."""
     meta = extract_metadata(doc, file_size)
     blocks = (
         extract_blocks(
