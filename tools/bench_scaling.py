@@ -27,30 +27,36 @@ CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
-from pyspark import StorageLevel
 from metadatadocumentparser_spark.session import get_spark
 from metadatadocumentparser_spark.plans import parse_transcripts, turns_of, formulas_of
 
 cores = int(sys.argv[1]); path = sys.argv[2]
+staging = f"{{path}}_scale_stage_{{cores}}"
 spark = get_spark(app_name=f"mdp-scale-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet(path)
-# warmup: JIT + codegen compile + python worker pool for BOTH query shapes
-warm = df.limit(2000)
-turns_of(parse_transcripts(warm, repartition=False)).count()
-formulas_of(parse_transcripts(warm, repartition=False)).count()
+# warmup: JIT + codegen compile + python worker pool for ALL stage shapes
+parse_transcripts(df.limit(2000), repartition=False).write.mode(
+    "overwrite").parquet(staging)
+wst = spark.read.parquet(staging)
+turns_of(wst).count()
+formulas_of(wst).count()
 
+# the measured job is the production multi-output shape (bench.py /
+# extract_all_materialized): ONE kernel pass staged to parquet, turns and
+# formulas derived from the staged read.
 # best-of-3: single-JVM local runs on shared hardware show sporadic 2-3x
 # slowdowns (noisy neighbors / GC phase alignment); the minimum is the
 # steady-state number a dedicated cluster would see
 best = None; n = 0
 for rep in range(3):
     t0 = time.monotonic()
-    row = turns_of(parse_transcripts(df, repartition=False)).agg(
+    parse_transcripts(df, repartition=False).write.mode("overwrite").parquet(staging)
+    st = spark.read.parquet(staging)
+    row = turns_of(st).agg(
         F.count("*").alias("n"), F.sum(F.length("extracted_text"))).collect()[0]
-    formulas_of(parse_transcripts(df, repartition=False)).agg(
-        F.count("*"), F.sum("confidence")).collect()
+    formulas_of(st).agg(F.count("*"), F.sum("confidence")).collect()
     dt = time.monotonic() - t0
     n = row["n"]
     best = dt if best is None or dt < best else best
