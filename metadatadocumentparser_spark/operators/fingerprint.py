@@ -27,17 +27,28 @@ BASE = np.uint64(1000003)
 MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _winnow_one(text: str) -> list:
-    """Fingerprints of one document (deterministic, pure numpy)."""
+def rolling_hashes(text: str) -> np.ndarray:
+    """Polynomial rolling hashes of every K-gram (deterministic numpy):
+    h_i = sum codes[i+j] * BASE^(K-1-j), mod 2^64 (uint64 wraparound).
+    Empty array when len(text) < K. Shared by winnowing and the
+    content-defined chunker (operators/chunking.py)."""
     if len(text) < K:
-        return []
+        return np.empty(0, dtype=np.uint64)
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     n = codes.size - K + 1
-    # polynomial rolling hash h_i = sum codes[i+j] * BASE^(K-1-j), mod 2^64
     powers = np.array([BASE ** np.uint64(K - 1 - j) for j in range(K)], dtype=np.uint64)
     hashes = np.zeros(n, dtype=np.uint64)
     for j in range(K):  # K (=8) vectorized passes, not per-char Python
         hashes += codes[j : j + n] * powers[j]
+    return hashes
+
+
+def _winnow_one(text: str) -> list:
+    """Fingerprints of one document (deterministic, pure numpy)."""
+    hashes = rolling_hashes(text)
+    n = int(hashes.size)
+    if n == 0:
+        return []
     if n <= W:
         return [int(hashes.min())]
     # rightmost-minimum winnowing via a strided window view

@@ -1,0 +1,125 @@
+"""Corpus-quality and corpus-management operators for LLM training-data
+pipelines, beyond the per-doc scalar scores in functions/textstats.py:
+
+- repetition_signals: Gopher-style repetition quality rules (Rae et al.
+  2021, "Scaling Language Models: ... Gopher", §A1.1): duplicate-word
+  fraction and top-bigram coverage fraction. Repetitive documents are the
+  single biggest low-quality class web crawls contribute.
+- split_assign: deterministic train/val/test assignment by md5 hash —
+  stable under repartitioning, cluster size and re-runs, reproducible in
+  any engine (the split must never depend on row order or partitioning).
+- decontaminate: benchmark n-gram decontamination — flag corpus docs that
+  share any k-shingle with an evaluation set (the overlap check every
+  training pipeline runs before shipping data).
+
+Scale notes: repetition explodes tokens/bigrams but aggregates with
+map-side partial combine on (id, gram) keys — linear, skew-free (gram
+cardinality within a doc is bounded by doc length). split_assign is a
+pure projection. decontaminate broadcasts only the BENCHMARK shingle set
+(eval sets are small by definition — that broadcast is bounded, unlike
+corpus-side tables which are never broadcast here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import half_up_scaled
+from .dedup import SHINGLE_K, with_shingles
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, dup_word_e4, top_bigram_e4):
+    dup_word = (n_tokens - n_distinct) / n_tokens,
+    top_bigram = 2 * count(most frequent bigram) / n_tokens (fraction of
+    tokens covered by it); both 0 when undefined (0 tokens / <2 tokens).
+    Word stats are array-native (zero shuffle); the bigram mode needs a
+    per-(doc, bigram) count — one aggregation keyed by (id, bigram)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        toks.alias("toks"),
+    )
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_bg"))
+    )
+    out = base.drop("toks").join(top, "id", "left")
+    dup = F.when(
+        F.col("n_tokens") > 0,
+        (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    topf = F.when(
+        F.col("n_tokens") > 0,
+        F.coalesce(F.col("top_bg"), F.lit(0)) * 2.0 / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id",
+        "n_tokens",
+        half_up_scaled(dup, 4).alias("dup_word_e4"),
+        half_up_scaled(topf, 4).alias("top_bigram_e4"),
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic split: u = int(md5(salt:id)[:8], 16) / 2^32 ∈ [0,1),
+    assigned by cumulative weight thresholds. md5 (not engine-internal
+    hash) so any engine reproduces the identical assignment."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(1 << 32)
+    )
+    acc, expr = 0.0, None
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        expr = (
+            F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
+        )
+    expr = (expr.otherwise(items[-1][0]) if expr is not None else F.lit(items[-1][0]))
+    return df.select(F.col(id_col).alias("id"), expr.alias("split"))
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_hits): corpus docs sharing ≥1 k-shingle (k = SHINGLE_K) with
+    the benchmark set, with the count of distinct shared shingles. Docs
+    absent from the output are clean. The benchmark shingle set is
+    broadcast — eval sets are small by definition; the corpus side streams
+    map-side through the broadcast-hash join (no corpus shuffle at all)."""
+    bs = with_shingles(benchmark, id_col, text_col).select("shingle").distinct()
+    cs = with_shingles(corpus, id_col, text_col)
+    return (
+        cs.join(F.broadcast(bs), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )

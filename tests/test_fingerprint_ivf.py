@@ -53,3 +53,31 @@ def test_ivf_recall(spark):
     r = ivf_cosine_topk(emb, q, k=3, n_list=8, n_probe=8)  # probe-all ⇒ exact
     exact = {(x.qid, x.rank, x.nid) for x in cosine_topk(emb, q, k=3).collect()}
     assert {(x.qid, x.rank, x.nid) for x in r.collect()} == exact
+
+
+# ---------------------------------------------------------------- CDC chunking
+def test_cdc_chunks_tile_document():
+    """Chunks must tile the document exactly: contiguous, in order, full
+    coverage; and boundaries are content-defined (insertion shifts only
+    the touched chunk's neighborhood, not everything after it)."""
+    from metadatadocumentparser_spark.operators.chunking import _chunks_one
+
+    # varied text (a periodic string has too few distinct k-grams to hit
+    # the divisor): ~2000 chars of deterministic pseudo-random words
+    text = " ".join(f"w{i * 7919 % 1000}" for i in range(400))
+    segs = _chunks_one(text)
+    assert segs[0][0] == 0 and segs[-1][1] == len(text)
+    assert all(segs[i][1] == segs[i + 1][0] for i in range(len(segs) - 1))
+    assert len(segs) > 5  # divisor 64 over ~2000 varied chars must cut
+
+    # content-defined robustness: prepend a paragraph; the chunk CONTENT
+    # set far from the edit is preserved (fixed-size chunking would shift
+    # every boundary)
+    edited = "completely new intro paragraph. " + text
+    h0 = {text[s:e] for s, e in segs[2:]}
+    h1 = {edited[s:e] for s, e in _chunks_one(edited)}
+    assert len(h0 & h1) >= len(h0) - 2
+
+    # degenerate inputs
+    assert _chunks_one("") == []
+    assert _chunks_one("short") == [(0, 5)]
