@@ -59,13 +59,13 @@ def test_latex_wraps_and_is_stable(text):
     # no raw greek/symbol chars survive the mapping
     for ch in "αβ√∑≤":
         assert ch not in out
-    # applying the heuristic to its own output never adds another wrap
-    # (empty input legitimately yields "$$" — reference utils.py:66-67)
+    # the heuristic is idempotent: output already starts with '$', and
+    # '$'-prefixed input is passed through unchanged (reference
+    # utils.py:66-67 — so raw input like '$$$' legitimately survives as-is;
+    # an earlier draft asserted "never starts with $$$", which is false for
+    # exactly that input)
     again = oracle.text_to_latex_heuristic(out)
-    assert again.startswith("$")
-    assert not again.startswith("$$$")
-    if text != "":
-        assert not (again.startswith("$$") and not out.startswith("$$"))
+    assert again == out
 
 
 @settings(max_examples=150, deadline=None)
