@@ -84,3 +84,43 @@ def windowed_event_counts(
     if available_now:
         return writer.trigger(availableNow=True).start()
     return writer.start()
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming exact dedup over a document stream: the streaming analogue
+    of operators/dedup.exact_dedup_groups. Each row is keyed by the
+    normalized-content fingerprint (same md5 normalization as the batch
+    op); dropDuplicatesWithinWatermark keeps ONE row per fingerprint while
+    the dedup state for a key expires once the watermark passes it —
+    bounded state, the contract an unbounded 100 TB/day ingest needs
+    (plain dropDuplicates would grow state forever).
+
+    Stream schema: documents-with-ts parquet
+    (doc_id bigint, text string, ts timestamp).
+    """
+    from ..functions.textstats import fingerprint
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(input_dir)
+    deduped = (
+        stream.withColumn("h", fingerprint(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["h"])
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

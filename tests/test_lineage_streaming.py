@@ -192,3 +192,34 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     }
     assert closed_batch, "no closed sessions — weak test"
     assert got == closed_batch
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per content
+    fingerprint (within the watermark horizon) — the streaming analogue of
+    exact_dedup_groups. The fingerprint set and total row count must match
+    the batch dedup over the same input."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.functions.textstats import fingerprint
+    from metadatadocumentparser_spark.streaming.stream import streaming_exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # duplicate every doc 3x at slightly later timestamps (all inside the
+    # watermark horizon, so every duplicate is a state hit, never an expiry)
+    base = docs.select(
+        "doc_id", "text", F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    dup = base.unionByName(
+        base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+    ).unionByName(base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 MINUTE")))
+    indir, out, ckpt = (str(tmp_path / d) for d in ("din", "dout", "dckpt"))
+    dup.repartition(4).write.mode("overwrite").parquet(indir)
+
+    q = streaming_exact_dedup(spark, indir, out, ckpt)
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(out)
+    batch_fps = {r.h for r in docs.select(fingerprint("text").alias("h")).collect()}
+    got_fps = {r.h for r in got.select("h").collect()}
+    assert got_fps == batch_fps
+    assert got.count() == len(batch_fps)  # exactly one survivor per content
