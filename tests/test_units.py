@@ -204,3 +204,30 @@ def test_simhash_multi_index_recall(spark):
     # the straddling pairs must be present
     assert (0, 1, 2) in want and (0, 2, 3) in want and (0, 3, 2) in want
     assert got == want
+
+
+# ---------------------------------------------------------------- as-of join
+def test_asof_join_semantics(spark):
+    """<= tie policy (a right row AT the left ts matches), per-key
+    isolation, inner vs left behavior."""
+    from metadatadocumentparser_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (2, 3, "c"), (3, 9, "d")],
+        "k int, t int, tag string",
+    )
+    r = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 7, 70.0), (2, 4, 40.0)], "k int, t int, v double"
+    )
+    inner = {
+        (x.k, x.t, x.tag, x.v)
+        for x in asof_join(l, r, by="k", ts_col="t", payload_cols=["v"]).collect()
+    }
+    # k=1 t=5 matches the equal-ts right row; k=1 t=10 takes latest (t=7);
+    # k=2 t=3 has no right row at/before it; k=3 has no right rows at all
+    assert inner == {(1, 5, "a", 50.0), (1, 10, "b", 70.0)}
+    left = {
+        (x.k, x.t, x.tag, x.v)
+        for x in asof_join(l, r, by="k", ts_col="t", payload_cols=["v"], how="left").collect()
+    }
+    assert left == inner | {(2, 3, "c", None), (3, 9, "d", None)}
