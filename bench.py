@@ -175,6 +175,14 @@ def main():
     )
     ev = load_table(spark, sf_dir, "events")
     timed("sessionize", lambda: sessionize.sessionize(ev).count())
+    from metadatadocumentparser_spark.operators.asof import events_asof
+    from metadatadocumentparser_spark.operators.chunking import content_defined_chunks
+
+    timed("asof_join", lambda: events_asof(ev, "click", "view").count())
+    timed(
+        "cdc_chunks",
+        lambda: content_defined_chunks(docs, "doc_id", "text").count(),
+    )
 
     total = round(sum(v for k, v in timings.items() if k != "cold_first_run_sec"), 3)
     print(
