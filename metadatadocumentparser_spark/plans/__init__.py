@@ -12,4 +12,5 @@ from .pipeline import (  # noqa: F401
     outputs_of,
     extract_all,
     extract_all_materialized,
+    register_extraction_views,
 )

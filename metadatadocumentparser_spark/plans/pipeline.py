@@ -273,3 +273,22 @@ def extract_all_materialized(
     spark = df.sparkSession
     materialized = spark.read.parquet(staging_path)
     return outputs_of(materialized, strict_mode=strict_mode, ocr_strategy=ocr_strategy)
+
+
+def register_extraction_views(outs: dict, prefix: str = "") -> list[str]:
+    """Register every extraction output table as a temp view so the whole
+    surface is queryable with spark.sql() — the declarative half of the
+    DataFrame/SQL contract (views are lazy: Catalyst still sees the full
+    plan, pushdown and pruning included).
+
+        outs = extract_all(df)
+        register_extraction_views(outs)
+        spark.sql("SELECT column_layout, count(*) FROM turns GROUP BY 1")
+
+    Returns the view names registered."""
+    names = []
+    for name, table in outs.items():
+        view = f"{prefix}{name}"
+        table.createOrReplaceTempView(view)
+        names.append(view)
+    return names

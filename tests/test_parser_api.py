@@ -38,3 +38,31 @@ def test_facade_parse_and_export(spark, tmp_path):
     d = {"metadata": {"title": "t"}, "text_blocks": []}
     r = p.compare_export_formats(d)
     assert "best_format" in r
+
+
+def test_sql_views_surface(spark):
+    """register_extraction_views makes every output table spark.sql()-able
+    and the SQL results equal the DataFrame results."""
+    from metadatadocumentparser_spark.plans import extract_all, register_extraction_views
+    from metadatadocumentparser_spark.synth import synth_df
+
+    outs = extract_all(synth_df(spark, n_convs=6))
+    names = register_extraction_views(outs, prefix="x_")
+    assert set(names) == {f"x_{k}" for k in outs}
+    sql_counts = {
+        r.layout: r.cnt
+        for r in spark.sql(
+            "SELECT coalesce(column_layout, 'none') AS layout, count(*) AS cnt "
+            "FROM x_turns GROUP BY 1"
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    df_counts = {
+        r.layout: r.cnt
+        for r in outs["turns"]
+        .groupBy(F.coalesce("column_layout", F.lit("none")).alias("layout"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert sql_counts == df_counts and sql_counts
