@@ -38,6 +38,101 @@ def attach_image_bytes(images: DataFrame) -> DataFrame:
     )
 
 
+MEDIA_BLOCK = 16  # bytes per md5 block in the synthetic payload chain
+
+
+def attach_media_bytes(turns: DataFrame, kind: str, n_blocks: int = 4) -> DataFrame:
+    """Deterministic synthetic media payload per turn: an md5 chain
+    b_0 = md5(kind:conv:turn), b_i = md5(hex(b_{i-1})), concatenated to
+    n_blocks·16 bytes. Real pipelines carry real codec bytes here; the
+    chain gives every turn a stable multi-block binary column so the
+    windowing/frame plumbing is exercised end-to-end."""
+    seed = F.md5(F.concat_ws(":", F.lit(kind), "conv_id", "turn_idx"))
+    blocks = [seed]
+    for _ in range(n_blocks - 1):
+        blocks.append(F.md5(blocks[-1]))
+    return turns.withColumn(
+        f"{kind}_bytes", F.to_binary(F.concat(*blocks), F.lit("hex"))
+    )
+
+
+def audio_window_energy(
+    turns_with_audio: DataFrame, window: int = MEDIA_BLOCK
+) -> DataFrame:
+    """Audio feature-extraction plumbing: treat the binary column as
+    unsigned 8-bit PCM samples and emit per-window RMS-style energy
+    (mean((x-128)²), floor-half-up e4). The windowed-energy math is REAL
+    (vectorized numpy over Arrow batches); only the payload is synthetic —
+    a real deployment decodes its codec into the same sample array first.
+    Output: (conv_id, turn_idx, window_idx, energy_e4), one row per full
+    window."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            conv, turn, widx, energy = [], [], [], []
+            for c, t, blob in zip(pdf["conv_id"], pdf["turn_idx"], pdf["audio_bytes"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n_win = arr.size // window
+                if n_win == 0:
+                    continue
+                x = arr[: n_win * window].astype(np.float64).reshape(n_win, window)
+                e = ((x - 128.0) ** 2).mean(axis=1)
+                for i, v in enumerate(e):
+                    conv.append(c)
+                    turn.append(t)
+                    widx.append(i)
+                    energy.append(int(np.floor(v * 10000.0 + 0.5)))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(conv, dtype="object"),
+                    "turn_idx": pd.Series(turn, dtype="int32"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "energy_e4": pd.Series(energy, dtype="int64"),
+                }
+            )
+
+    return turns_with_audio.mapInPandas(
+        kernel, schema="conv_id string, turn_idx int, window_idx int, energy_e4 bigint"
+    )
+
+
+def video_frame_sample(
+    turns_with_video: DataFrame, frame_bytes: int = MEDIA_BLOCK, every_n: int = 2
+) -> DataFrame:
+    """Video frame-sampling plumbing: the binary column is segmented into
+    fixed-size pseudo-frames and every ``every_n``-th frame is emitted with
+    its content digest. The segmentation/sampling/digest plumbing (schema,
+    Arrow batch shape, explode-style fan-out) is real; a real deployment
+    replaces the fixed-size segmentation with codec keyframe boundaries —
+    that decode step is the honestly-absent piece in this container.
+    Output: (conv_id, turn_idx, frame_idx, frame_md5)."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            conv, turn, fidx, fmd5 = [], [], [], []
+            for c, t, blob in zip(pdf["conv_id"], pdf["turn_idx"], pdf["video_bytes"]):
+                raw = bytes(blob)
+                for i in range(0, len(raw) // frame_bytes, every_n):
+                    frame = raw[i * frame_bytes : (i + 1) * frame_bytes]
+                    conv.append(c)
+                    turn.append(t)
+                    fidx.append(i)
+                    fmd5.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(conv, dtype="object"),
+                    "turn_idx": pd.Series(turn, dtype="int32"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "frame_md5": pd.Series(fmd5, dtype="object"),
+                }
+            )
+
+    return turns_with_video.mapInPandas(
+        kernel, schema="conv_id string, turn_idx int, frame_idx int, frame_md5 string"
+    )
+
+
 def decode_images(images_with_bytes: DataFrame, fake: bool = False, n_features: int = 8) -> DataFrame:
     """binary → feature vector via Arrow-batched mapInPandas.
 

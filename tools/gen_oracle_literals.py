@@ -130,6 +130,37 @@ def _multimodal_rows(images, n_features: int = 8):
     return out
 
 
+def _media_chain(kind: str, conv_id: str, turn_idx: int, n_blocks: int = 4) -> bytes:
+    """Replicates multimodal.attach_media_bytes: md5 chain over hex strings."""
+    blocks = [hashlib.md5(f"{kind}:{conv_id}:{turn_idx}".encode()).hexdigest()]
+    for _ in range(n_blocks - 1):
+        blocks.append(hashlib.md5(blocks[-1].encode()).hexdigest())
+    return bytes.fromhex("".join(blocks))
+
+
+def _audio_rows(rows, window: int = 16):
+    """Replicates multimodal.audio_window_energy over the synth turn keys."""
+    out = []
+    for r in sorted({(x["conv_id"], x["turn_idx"]) for x in rows}):
+        arr = np.frombuffer(_media_chain("audio", *r), dtype=np.uint8)
+        n_win = arr.size // window
+        x = arr[: n_win * window].astype(np.float64).reshape(n_win, window)
+        for i, v in enumerate(((x - 128.0) ** 2).mean(axis=1)):
+            out.append((r[0], r[1], i, int(math.floor(v * 10000.0 + 0.5))))
+    return out
+
+
+def _video_rows(rows, frame_bytes: int = 16, every_n: int = 2):
+    """Replicates multimodal.video_frame_sample over the synth turn keys."""
+    out = []
+    for r in sorted({(x["conv_id"], x["turn_idx"]) for x in rows}):
+        raw = _media_chain("video", *r)
+        for i in range(0, len(raw) // frame_bytes, every_n):
+            frame = raw[i * frame_bytes : (i + 1) * frame_bytes]
+            out.append((r[0], r[1], i, hashlib.md5(frame).hexdigest()))
+    return out
+
+
 def main():
     rows = synth.synth_local(SYNTH_CONVS, hot_factor=SYNTH_HOT)
     g = oracle.oracle_corpus(rows)
@@ -177,6 +208,12 @@ def main():
             _multimodal_rows(g["images"]),
             "conv_id, turn_idx, page_num, image_index, width, height, ext, "
             "n_bytes, features_e4",
+        ),
+        "multimodal_audio_energy": _values_sql(
+            _audio_rows(rows), "conv_id, turn_idx, window_idx, energy_e4"
+        ),
+        "multimodal_video_frames": _values_sql(
+            _video_rows(rows), "conv_id, turn_idx, frame_idx, frame_md5"
         ),
     }
 
