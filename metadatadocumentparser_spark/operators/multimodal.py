@@ -133,6 +133,55 @@ def video_frame_sample(
     )
 
 
+def resize_images(
+    images_with_bytes: DataFrame, target_w: int, target_h: int, fake: bool = False
+) -> DataFrame:
+    """Image resize plumbing: every image row re-emitted with the target
+    dimensions and a resized payload. fake=False raises (no image codec in
+    this container — same seam as decode_images); fake=True produces a
+    deterministic stand-in payload by stride-subsampling the source bytes
+    to ceil(target_w·target_h/256) bytes, so byte-count scaling, schema and
+    Arrow batch shape are exercised end-to-end. Output adds
+    (width, height, n_bytes, resized_md5) for the resized payload."""
+    import hashlib
+    import math as _math
+
+    n_out = max(1, _math.ceil(target_w * target_h / 256))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires a codec library not present in this "
+                    "environment; run with fake=True for plumbing tests"
+                )
+            out = pdf[["conv_id", "turn_idx", "page_num", "image_index", "ext"]].copy()
+            md5s, nb = [], []
+            for blob in pdf["image_bytes"]:
+                raw = bytes(blob)
+                if len(raw) == 0:
+                    md5s.append(hashlib.md5(b"").hexdigest())
+                    nb.append(0)
+                    continue
+                idx = np.linspace(0, len(raw) - 1, num=min(n_out, len(raw)), dtype=np.int64)
+                resized = bytes(np.frombuffer(raw, dtype=np.uint8)[idx].tobytes())
+                md5s.append(hashlib.md5(resized).hexdigest())
+                nb.append(len(resized))
+            out["width"] = np.int32(target_w)
+            out["height"] = np.int32(target_h)
+            out["n_bytes"] = pd.Series(nb, dtype="int64")
+            out["resized_md5"] = pd.Series(md5s, dtype="object")
+            yield out
+
+    return images_with_bytes.mapInPandas(
+        kernel,
+        schema=(
+            "conv_id string, turn_idx int, page_num int, image_index int, "
+            "ext string, width int, height int, n_bytes bigint, resized_md5 string"
+        ),
+    )
+
+
 def decode_images(images_with_bytes: DataFrame, fake: bool = False, n_features: int = 8) -> DataFrame:
     """binary → feature vector via Arrow-batched mapInPandas.
 

@@ -138,6 +138,31 @@ def _media_chain(kind: str, conv_id: str, turn_idx: int, n_blocks: int = 4) -> b
     return bytes.fromhex("".join(blocks))
 
 
+def _resize_rows(images, target_w: int = 32, target_h: int = 32):
+    """Replicates multimodal.resize_images(fake=True) over the image keys."""
+    n_out = max(1, math.ceil(target_w * target_h / 256))
+    out = []
+    for im in images:
+        key = f"{im['conv_id']}:{im['turn_idx']}:{im['page_num']}:{im['image_index']}"
+        raw = bytes.fromhex(hashlib.md5(key.encode()).hexdigest())
+        idx = np.linspace(0, len(raw) - 1, num=min(n_out, len(raw)), dtype=np.int64)
+        resized = np.frombuffer(raw, dtype=np.uint8)[idx].tobytes()
+        out.append(
+            (
+                im["conv_id"],
+                im["turn_idx"],
+                im["page_num"],
+                im["image_index"],
+                im["ext"],
+                target_w,
+                target_h,
+                len(resized),
+                hashlib.md5(resized).hexdigest(),
+            )
+        )
+    return out
+
+
 def _audio_rows(rows, window: int = 16):
     """Replicates multimodal.audio_window_energy over the synth turn keys."""
     out = []
@@ -208,6 +233,11 @@ def main():
             _multimodal_rows(g["images"]),
             "conv_id, turn_idx, page_num, image_index, width, height, ext, "
             "n_bytes, features_e4",
+        ),
+        "multimodal_resize": _values_sql(
+            _resize_rows(g["images"]),
+            "conv_id, turn_idx, page_num, image_index, ext, width, height, "
+            "n_bytes, resized_md5",
         ),
         "multimodal_audio_energy": _values_sql(
             _audio_rows(rows), "conv_id, turn_idx, window_idx, energy_e4"
