@@ -50,3 +50,31 @@ def test_salted_equals_unsalted(spark):
     assert norm(salted_conversation_content(turns, 16)) == norm(
         conversation_content(turns)
     )
+
+
+def test_salted_matches_unsalted_under_heavy_skew(spark):
+    """hot_factor 2000: one conversation carries ~20k of ~24k turns.
+    The salted two-phase aggregation must produce byte-identical output
+    (the salt must never leak into ordering or offsets)."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark import synth
+    from metadatadocumentparser_spark.plans import parse_transcripts, turns_of
+    from metadatadocumentparser_spark.operators.reassembly import (
+        conversation_content,
+        salted_conversation_content,
+    )
+
+    turns = turns_of(parse_transcripts(synth.synth_df(spark, n_convs=400, hot_factor=2000)))
+
+    def digest(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("conv_text")).alias("chars"),
+            F.sum(F.size("conv_spans")).alias("spans"),
+            F.sum(F.crc32(F.concat_ws("|", "conv_id", F.md5("conv_text"),
+                                      F.md5(F.to_json("conv_spans"))))).alias("crc"),
+        ).collect()[0]
+
+    assert list(digest(salted_conversation_content(turns))) == list(
+        digest(conversation_content(turns))
+    )
