@@ -92,3 +92,57 @@ def test_visualize_columns(spark):
     viz = visualize_columns(_df(spark), n_turns=4)
     assert len(viz) == 4
     assert all("pages" in v for v in viz)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key co-locates them: the sort-merge
+    join runs with ZERO Exchange (the physical property a 100 TB fact-fact
+    join needs — shuffle cost paid once at write time, amortized over every
+    later join). Also asserts the same join WITHOUT bucketing shuffles."""
+    from metadatadocumentparser_spark.sources import load_table
+
+    # spark.sql.warehouse.dir is static; bucketed tables land in the
+    # session's default warehouse and are dropped at the end
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plain_plan  # unbucketed fact-fact join must shuffle
+
+    for name, df, key in (("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")):
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in jplan, jplan[:1500]  # co-located: no shuffle for the join
+
+    got = {r.o_orderpriority: r["count"] for r in joined.groupBy("o_orderpriority").count().collect()}
+    want = {r.o_orderpriority: r["count"] for r in plain.collect()}
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_source_format_roundtrip(spark, tmp_path):
+    """documents and events survive a write/read round-trip through every
+    supported source format with explicit schemas (byte-identical rows)."""
+    from metadatadocumentparser_spark.sources import load_table
+    from metadatadocumentparser_spark.sources.formats import FORMATS, read_table_as, write_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf = "/root/testdata/sf0.001"
+    for table in ("documents", "events"):
+        src = load_table(spark, sf, table)
+        # explicit schema = the source's true schema (the testdata ts column
+        # is TIMESTAMP_NTZ; guessing LTZ would fail the ORC read)
+        schema = src.schema
+        want = sorted(map(str, src.collect()))
+        for fmt in FORMATS:
+            path = str(tmp_path / f"{table}_{fmt}")
+            write_table(src, path, fmt)
+            got = sorted(map(str, read_table_as(spark, path, fmt, schema).collect()))
+            assert got == want, f"{table} via {fmt}: row mismatch"
