@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -34,17 +35,27 @@ def asof_join(
     rows with null payload; "inner" drops them.
 
     ``right`` must be unique per (by, ts_col) — pre-aggregate it if not
-    (ties would otherwise be shuffle-order dependent)."""
-    pay = [f"__r_{c}" for c in payload_cols]
+    (ties would otherwise be shuffle-order dependent).
+
+    The right payload is carried forward as ONE struct (not per-column
+    ``last(ignorenulls)``): independent per-column carries would stitch
+    together fields from DIFFERENT right rows whenever the latest right row
+    has a NULL in one payload column (and an inner join keyed on the first
+    payload column's nullity would drop genuine matches whose first field
+    is NULL). The struct is atomically non-null for every right row, so the
+    match test and every projected field come from the same matched row —
+    DuckDB/QuestDB ASOF semantics for nullable payloads."""
+    pay_struct = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     lu = left.select(
         "*",
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(p)
-          for c, p in zip(payload_cols, pay)],
+        F.lit(None).cast(pay_struct).alias("__rpay"),
     )
     left_cols = [c for c in left.columns]
     ru = right.select(
-        *[F.col(c).alias(p) for c, p in zip(payload_cols, pay)],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__rpay"),
         F.col(by),
         F.col(ts_col),
         F.lit(0).alias("__side"),
@@ -60,15 +71,15 @@ def asof_join(
     carried = u.select(
         *left_cols,
         "__side",
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in pay],
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
     out = carried.where(F.col("__side") == 1).drop("__side")
     if how == "inner":
-        out = out.where(F.col(pay[0]).isNotNull())
+        out = out.where(F.col("__rpay").isNotNull())
     elif how != "left":
         raise ValueError(f"unknown how {how!r}")
     return out.select(
-        *left_cols, *[F.col(p).alias(c) for c, p in zip(payload_cols, pay)]
+        *left_cols, *[F.col("__rpay").getField(c).alias(c) for c in payload_cols]
     )
 
 

@@ -32,13 +32,19 @@ MAX_SHINGLE_DF = 50
 def with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """id, shingle (distinct word-k-grams). Mirrors the DuckDB oracle:
     words = split(text,' '); shingle i = words[i..i+k-1] joined by ' '."""
+    # Guarded: for docs with < SHINGLE_K tokens, sequence(1, n-k+1) would
+    # DESCEND to [1, 0] and slice(..., 0, k) throws (ANSI). Short docs have
+    # no k-shingles by definition — they produce zero rows here (correct:
+    # they cannot share a k-shingle with anything).
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {SHINGLE_K - 1}, 0)),"
+                    f"CASE WHEN size(split({text_col}, ' ')) >= {SHINGLE_K} THEN"
+                    f" transform(sequence(1, size(split({text_col}, ' ')) - {SHINGLE_K - 1}),"
                     f" i -> array_join(slice(split({text_col}, ' '), i, {SHINGLE_K}), ' '))"
+                    f" ELSE array() END"
                 )
             )
         ).alias("shingle"),
@@ -166,6 +172,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (
         sym.select(F.col("id_a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).cache()
+    changed = -1  # sentinel: max_iter <= 0 must hit the non-convergence raise
     for _ in range(max_iter):
         prop = sym.join(labels, sym.id_a == labels.id).select(
             F.col("id_b").alias("id"), "label"
@@ -252,9 +259,11 @@ def near_pairs_from_fingerprints(
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash (exact result set:
     multi-index blocking has recall 1.0 for distance ≤ max_hamming, and the
-    bit_count filter gives precision 1.0). The signature table is cached —
-    at corpus scale you would materialize it once instead (it is reused by
-    the four block branches on both join sides)."""
+    bit_count filter gives precision 1.0). Caching is the CALLER's choice:
+    the signature subtree is referenced by every block branch on both join
+    sides, so at corpus scale persist (or materialize) simhash(...) first
+    and pass it to near_pairs_from_fingerprints — this function deliberately
+    holds no .cache() so repeated calls never accumulate pinned storage."""
     return near_pairs_from_fingerprints(
-        simhash(df, id_col, text_col).cache(), max_hamming=max_hamming, bits=16
+        simhash(df, id_col, text_col), max_hamming=max_hamming, bits=16
     )

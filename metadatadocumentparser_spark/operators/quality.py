@@ -45,10 +45,16 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     bigrams = base.select(
         "id",
+        # Guarded: sequence(1, 0) would DESCEND ([1, 0]) and index toks[-1]/
+        # toks[0] on a short array (ANSI INVALID_ARRAY_INDEX); docs with <2
+        # tokens simply have no bigrams (explode drops them; left join below
+        # restores the row with top_bg NULL → 0).
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
                 " i -> concat(toks[i - 1], ' ', toks[i]))"
+                " ELSE array() END"
             )
         ).alias("bg"),
     )

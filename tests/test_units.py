@@ -231,3 +231,64 @@ def test_asof_join_semantics(spark):
         for x in asof_join(l, r, by="k", ts_col="t", payload_cols=["v"], how="left").collect()
     }
     assert left == inner | {(2, 3, "c", None), (3, 9, "d", None)}
+
+def test_asof_join_nullable_payload_atomicity(spark):
+    """ADVICE r2: per-column last(ignorenulls) stitched fields from
+    DIFFERENT right rows when the latest right row had a NULL payload
+    column, and inner matching on pay[0] nullity dropped genuine matches
+    whose first field is NULL. The struct carry must return the matched
+    row's fields verbatim (DuckDB ASOF: (7, NULL), never (7, 99))."""
+    from metadatadocumentparser_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 10, "x")], "k int, t int, tag string")
+    r = spark.createDataFrame(
+        [(1, 2, 1.0, 99.0), (1, 5, 7.0, None)], "k int, t int, a double, b double"
+    )
+    rows = asof_join(l, r, by="k", ts_col="t", payload_cols=["a", "b"]).collect()
+    assert [(x.k, x.t, x.tag, x.a, x.b) for x in rows] == [(1, 10, "x", 7.0, None)]
+
+    # inner keeps a genuine match whose FIRST payload field is NULL
+    r2 = spark.createDataFrame([(1, 5, None, 3.0)], "k int, t int, a double, b double")
+    rows2 = asof_join(l, r2, by="k", ts_col="t", payload_cols=["a", "b"]).collect()
+    assert [(x.a, x.b) for x in rows2] == [(None, 3.0)]
+    # ...and inner still drops a left row with no right row at/before it
+    l2 = spark.createDataFrame([(1, 1, "early")], "k int, t int, tag string")
+    assert asof_join(l2, r2, by="k", ts_col="t", payload_cols=["a", "b"]).count() == 0
+
+
+def test_short_doc_guards(spark):
+    """ADVICE r2: <2-token docs crashed repetition_signals (descending
+    sequence → toks[-1]) and <SHINGLE_K-token docs crashed with_shingles /
+    decontaminate (slice start 0). Short docs must flow through with
+    zero bigrams / zero shingles instead."""
+    from metadatadocumentparser_spark.operators.dedup import with_shingles
+    from metadatadocumentparser_spark.operators.quality import (
+        decontaminate,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello"), (3, "two words"), (4, "a a a a")],
+        "id int, text string",
+    )
+    rep = {r.id: (r.n_tokens, r.dup_word_e4, r.top_bigram_e4)
+           for r in repetition_signals(docs, "id", "text").collect()}
+    assert rep[1] == (0, 0, 0)
+    assert rep[2] == (1, 0, 0)
+    assert rep[3] == (2, 0, 10000)          # one bigram covering both tokens
+    assert rep[4] == (4, 7500, 15000)       # 'a a' appears 3x: 2*3/4 capped? no cap: 1.5
+
+    sh = with_shingles(docs, "id", "text").collect()
+    assert {r.id for r in sh} == {4}        # only the 4-token doc has 3-shingles
+    hits = decontaminate(docs, docs, "id", "text").collect()
+    assert {(r.id, r.n_hits) for r in hits} == {(4, 1)}
+
+
+def test_connected_components_zero_iter_raises(spark):
+    """ADVICE r2: max_iter<=0 raised NameError (unbound `changed`) instead
+    of the intended RuntimeError with guidance."""
+    from metadatadocumentparser_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=0)

@@ -186,35 +186,70 @@ def _video_rows(rows, frame_bytes: int = 16, every_n: int = 2):
     return out
 
 
-def main():
-    rows = synth.synth_local(SYNTH_CONVS, hot_factor=SYNTH_HOT)
-    g = oracle.oracle_corpus(rows)
-
+def _shape_stats_rows(g):
+    """(section, k, v BIGINT) long-format corpus-shape rows — the literal
+    oracle for the merged transcripts_shape_stats driver query."""
     by_type = Counter(b["block_type"] for b in g["blocks"])
     layout = Counter((t["column_layout"] or "none") for t in g["turns"])
     n_f = len(g["formulas"])
-    sum_conf = round(sum(f["confidence"] for f in g["formulas"]), 4)
+    sum_conf_e4 = int(
+        math.floor(sum(f["confidence"] for f in g["formulas"]) * 10000.0 + 0.5)
+    )
     n_latex = len({f["latex"] for f in g["formulas"]})
     n_turns = len(g["turns"])
     sum_chars = sum(len(t["extracted_text"]) for t in g["turns"])
     n_spans = sum(len(t["spans"]) for t in g["turns"])
     span_sum = sum(s["start"] + s["end"] for t in g["turns"] for s in t["spans"])
     seg = Counter(s["is_content"] for s in g["segments"])
+    rows = [("blocks", k, v) for k, v in sorted(by_type.items())]
+    rows += [("layout", k, v) for k, v in sorted(layout.items())]
+    rows += [
+        ("formula", "n_formulas", n_f),
+        ("formula", "sum_conf_e4", sum_conf_e4),
+        ("formula", "n_latex", n_latex),
+    ]
+    rows += [
+        ("spans", "n_turns", n_turns),
+        ("spans", "sum_chars", sum_chars),
+        ("spans", "n_spans", n_spans),
+        ("spans", "span_sum", span_sum),
+    ]
+    rows += [
+        ("segments", "true" if k else "false", v) for k, v in sorted(seg.items())
+    ]
+    return rows
+
+
+def _compare_methods_rows(rows):
+    """Per-text-method corpus shape (A5 comparison + S5 pdfplumber):
+    independent oracle runs with each method's parse flags."""
+    out = []
+    for method in ("pymupdf", "pdfplumber"):
+        g = oracle.oracle_corpus(rows, text_method=method)
+        out.append(
+            (
+                method,
+                len(g["turns"]),
+                len(g["blocks"]),
+                sum(len(t["extracted_text"]) for t in g["turns"]),
+                sum(len(t["spans"]) for t in g["turns"]),
+                sum(1 for t in g["turns"] if t["column_layout"] is not None),
+            )
+        )
+    return out
+
+
+def main():
+    rows = synth.synth_local(SYNTH_CONVS, hot_factor=SYNTH_HOT)
+    g = oracle.oracle_corpus(rows)
 
     literal_sql = {
-        "transcripts_blocks_by_type": _values_sql(
-            sorted(by_type.items()), "block_type, cnt"
+        "transcripts_shape_stats": _values_sql(
+            _shape_stats_rows(g), "section, k, v"
         ),
-        "transcripts_layout_votes": _values_sql(sorted(layout.items()), "layout, cnt"),
-        "transcripts_formula_stats": _values_sql(
-            [(n_f, sum_conf, n_latex)], "n_formulas, sum_conf, n_latex"
-        ),
-        "transcripts_spans_checksum": _values_sql(
-            [(n_turns, sum_chars, n_spans, span_sum)],
-            "n_turns, sum_chars, n_spans, span_sum",
-        ),
-        "transcripts_segments_content": _values_sql(
-            sorted(seg.items()), "is_content, cnt"
+        "transcripts_compare_methods": _values_sql(
+            _compare_methods_rows(rows),
+            "method, n_turns, n_blocks, n_chars, n_spans, n_layout_votes",
         ),
         "conversation_content": _values_sql(
             _conversation_rows(g["turns"]),
