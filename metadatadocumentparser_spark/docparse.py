@@ -276,7 +276,9 @@ def detect_column_layout(blocks) -> str:
 
 def extract_images(doc: DocPayload):
     """Image records (image.py:14-44); image_index is the 0-based position
-    within the page's image list (image.py:22)."""
+    within the page's image list (image.py:22). image_bytes carries the
+    source payload bytes verbatim (ImageData.image_bytes, image.py:33-41 /
+    data_types.py:23) — None when the ingestion path has none."""
     out = []
     for page_num, page in enumerate(doc.pages):
         for img_index, im in enumerate(page.images):
@@ -289,6 +291,7 @@ def extract_images(doc: DocPayload):
                     "height": im.height,
                     "colorspace": im.colorspace,
                     "ext": im.ext,
+                    "image_bytes": im.image_bytes,
                 }
             )
     return out

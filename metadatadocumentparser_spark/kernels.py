@@ -48,7 +48,7 @@ PARSED_DDL = ", ".join(
         ),
         (
             "images array<struct<image_index:int,page_num:int,bbox:array<double>,"
-            "width:int,height:int,colorspace:string,ext:string>>"
+            "width:int,height:int,colorspace:string,ext:string,image_bytes:binary>>"
         ),
         (
             "tables array<struct<table_index:int,page_num:int,bbox:array<double>,"

@@ -156,49 +156,107 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return agg.select("id", fp.alias("simhash"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, 'Connected Components in
+    MapReduce and Beyond' §3): every node connects its strictly-LARGER
+    neighbors to the minimum of its neighborhood (incl. itself)."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge high→low, then each node hooks
+    all its smaller neighbors (and itself) onto its minimum neighbor."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    hooked = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .unionByName(mins.select("u", F.col("mn").alias("v")))
+    )
+    return hooked.where(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Label-propagation connected components over undirected candidate
-    pairs (id_a, id_b): every node ends with its component's minimum id as
-    label. The iterative join is the classic Spark shape for transitive
-    closure (converges in O(diameter) rounds; near-dup clusters are tiny so
-    2-4 rounds in practice). Deterministic — min() is order-free.
+    """Connected components over undirected candidate pairs (id_a, id_b)
+    by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris et al. 2014): every
+    node ends labeled with its component's minimum id.
+
+    Why not label propagation: min-label propagation needs O(diameter)
+    full edge-join rounds — fine for tiny near-dup clusters, degenerate on
+    a pathological chain (diameter ≈ component size). Star contraction
+    converges in O(log diameter) rounds, so a 10⁶-node chain finishes in
+    ~20 rounds instead of 10⁶; each round is two key-shuffles over the
+    (shrinking) edge set. Deterministic — min() is order-free.
 
     Used for dedup clustering: one keeper (the label) per near-dup cluster.
     """
-    edges = pairs.select("id_a", "id_b")
-    sym = edges.unionByName(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).cache()
-    labels = (
-        sym.select(F.col("id_a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).cache()
-    changed = -1  # sentinel: max_iter <= 0 must hit the non-convergence raise
+    # each round's result is localCheckpoint'ed: star rounds reference their
+    # input ~6× and Catalyst walks logical plans as TREES, so without
+    # lineage truncation round k's plan costs O(6^k) to analyze — the
+    # classic iterative-algorithm trap (checkpointing, not caching, is the
+    # fix; cache shortcuts execution but not plan analysis)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
     for _ in range(max_iter):
-        prop = sym.join(labels, sym.id_a == labels.id).select(
-            F.col("id_b").alias("id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
-        ).cache()
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # converged ⇔ the edge set is a fixed point (both difference
+        # directions empty — exact, not a checksum heuristic)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+            not new_edges.exceptAll(edges).isEmpty()
+            or not edges.exceptAll(new_edges).isEmpty()
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        edges = new_edges
+        if not changed:
+            converged = True
             break
-    else:
-        # non-convergence must not masquerade as a result: a component with
-        # diameter > max_iter would return intermediate (wrong) labels
+    if not converged:
+        # non-convergence must not masquerade as a result
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing); raise max_iter"
+            f"connected_components did not converge in {max_iter} "
+            f"large-star/small-star rounds; raise max_iter (each round "
+            f"halves the residual diameter, so this indicates max_iter "
+            f"< log2(component diameter) or a degenerate input)"
         )
-    sym.unpersist()
-    return labels
+    # fixed point is a star forest: every non-root points straight at its
+    # component minimum; roots label themselves (min-agg is defensive —
+    # at the fixed point each node has at most one outgoing edge)
+    labels = (
+        all_nodes.join(
+            edges.select(F.col("u").alias("id"), F.col("v").alias("lbl")),
+            "id",
+            "left",
+        )
+        .groupBy("id")
+        .agg(F.min(F.coalesce("lbl", F.col("id"))).alias("label"))
+    )
+    # flat final plan (checkpointed inputs), nothing left pinned: the
+    # intermediate checkpoint blocks are released when their DataFrames
+    # are garbage-collected (ContextCleaner)
+    return labels.localCheckpoint(eager=True)
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -98,7 +98,11 @@ def ivf_cosine_topk(
                 4,
             ).alias("cosine"),
         )
-        .distinct()
+        # no distinct: every corpus vector lives in exactly ONE list
+        # (assign n_probe=1) and a query probes n_probe DISTINCT lists
+        # (argsort row), so (qid, nid) candidates are already unique —
+        # a distinct here would be a full extra shuffle of the scored
+        # candidate set (tests/test_fingerprint_ivf.py asserts uniqueness)
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (

@@ -26,16 +26,24 @@ FEATURES_DDL = (
 
 
 def attach_image_bytes(images: DataFrame) -> DataFrame:
-    """Deterministic synthetic payload bytes derived from the image key
-    (the reference stores real extract_image() bytes; here the bytes column
-    is exercised end-to-end with a stable stand-in)."""
-    return images.withColumn(
-        "image_bytes",
-        F.to_binary(
-            F.md5(F.concat_ws(":", "conv_id", "turn_idx", "page_num", "image_index")),
-            F.lit("hex"),
-        ),
+    """Ensure an ``image_bytes`` column on an images table.
+
+    The extraction schema now carries real payload bytes end-to-end
+    (payload %%IMG hex / fitz extract_image → ImageRec.image_bytes →
+    kernel images struct → images_of), so when the input already has the
+    column, rows keep their kernel-produced bytes and only NULLs (sources
+    that ship no payload) get the deterministic md5-of-key stand-in. Inputs
+    without the column get the stand-in everywhere — same values either
+    way, so features are byte-identical across ingestion paths."""
+    synthetic = F.to_binary(
+        F.md5(F.concat_ws(":", "conv_id", "turn_idx", "page_num", "image_index")),
+        F.lit("hex"),
     )
+    if "image_bytes" in images.columns:
+        return images.withColumn(
+            "image_bytes", F.coalesce(F.col("image_bytes"), synthetic)
+        )
+    return images.withColumn("image_bytes", synthetic)
 
 
 MEDIA_BLOCK = 16  # bytes per md5 block in the synthetic payload chain

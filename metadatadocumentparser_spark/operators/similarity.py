@@ -69,7 +69,16 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
     """Deterministic LSH bucket id: sign pattern against pseudo-random
     hyperplanes h_p[i] = (md5-derived int of (p,i)) centered at 0. The
     hyperplane constants fold into the plan as literals — nothing random
-    at runtime, identical across runs/cluster sizes."""
+    at runtime, identical across runs/cluster sizes.
+
+    Plan size is dim-INDEPENDENT: each plane is ONE array<double> literal
+    and the dot product is aggregate(zip_with(...)) — n_planes expression
+    nodes total. (The naive unrolled form is n_planes·dim nodes: fine at
+    dim=64, but at production embedding dims (768-4096) it blows up
+    Catalyst analysis/codegen.) The left-to-right fold keeps the exact
+    FP addition order of the unrolled form — ((0 + v0·c0) + v1·c1) + … —
+    so bucket values are bit-identical to it and to the DuckDB oracle's
+    left-associative sum."""
     import hashlib
 
     def coef(p, i):
@@ -78,9 +87,12 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
 
     bucket = F.lit(0)
     for p in range(n_planes):
-        acc = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + vec_col[i].cast("double") * F.lit(coef(p, i))
+        plane = F.lit([coef(p, i) for i in range(dim)])
+        acc = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
         bucket = bucket + F.when(acc > 0, F.lit(1 << p)).otherwise(0)
     return bucket
 

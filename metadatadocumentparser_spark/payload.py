@@ -12,7 +12,9 @@ Grammar (lines separated by ``\\n``; numbers are decimal floats):
     %%DOC key=value;key=value;...        document metadata (PDF trailer analogue)
     %%PAGE <w> <h>                       begin page
     %%DRAW <x0> <y0> <x1> <y1>           vector-drawing rect (layout.py:144,193-195)
-    %%IMG <x0> <y0> <x1> <y1> <w> <h> <colorspace> <ext>   embedded image
+    %%IMG <x0> <y0> <x1> <y1> <w> <h> <colorspace> <ext> [<hexbytes>]   embedded image
+        (optional 9th token: hex-encoded payload bytes — the reference's
+        ImageData.image_bytes, extractors/image.py:33-41 / data_types.py:23)
     %%BLK <x0> <y0> <x1> <y1>            begin text block
     %%LN <x0> <y0> <x1> <y1> <dx> <dy>   begin line (dir=(dx,dy), layout.py:211-215)
     %%SP <size> <font>|<text to EOL>     span; text starts right after '|'
@@ -78,6 +80,9 @@ class ImageRec:
     height: int
     colorspace: str
     ext: str
+    # real decoded payload bytes (reference ImageData.image_bytes,
+    # extractors/image.py:33-41); None when the source carries none
+    image_bytes: Optional[bytes] = None
 
 
 @dataclass
@@ -195,6 +200,12 @@ def parse_payload(text: str) -> DocPayload:
             parts = rest.split()
             f = _floats(parts, 6)
             if f is not None and len(parts) >= 8:
+                img_bytes = None
+                if len(parts) >= 9:
+                    try:
+                        img_bytes = bytes.fromhex(parts[8])
+                    except ValueError:
+                        img_bytes = None  # malformed hex swallowed like all payload errors
                 page.images.append(
                     ImageRec(
                         bbox=tuple(f[:4]),
@@ -202,6 +213,7 @@ def parse_payload(text: str) -> DocPayload:
                         height=int(f[5]),
                         colorspace=parts[6],
                         ext=parts[7],
+                        image_bytes=img_bytes,
                     )
                 )
         elif tag == "%%BLK":

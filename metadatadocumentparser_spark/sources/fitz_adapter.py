@@ -99,6 +99,8 @@ def page_dict_to_page(
             height=int(im.get("height", 0)),
             colorspace=str(im.get("colorspace", "")),
             ext=str(im.get("ext", "")),
+            # doc.extract_image()["image"] payload (reference image.py:33-41)
+            image_bytes=im.get("image"),
         )
         for im in (images or [])
     ]
@@ -162,6 +164,7 @@ def pdf_bytes_to_payload(data: bytes) -> DocPayload:
                     "height": base["height"],
                     "colorspace": base.get("colorspace"),
                     "ext": base["ext"],
+                    "image": base.get("image"),
                 }
             )
         drawings = [tuple(p["rect"]) for p in page.get_drawings()]

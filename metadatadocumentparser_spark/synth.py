@@ -18,6 +18,7 @@ edge cases) — see FIXTURES.md §1 for the per-shape reference citations.
 
 from __future__ import annotations
 
+import hashlib
 import random
 from bisect import bisect_right
 from datetime import datetime, timedelta
@@ -190,6 +191,16 @@ def _payload_words(rng, ci, ti):
     return "\n".join(out)
 
 
+def _img_hex(ci, ti, page_num, image_index):
+    """Deterministic image payload bytes carried IN the %%IMG record (the
+    reference ships real extract_image bytes the same way). The value is
+    md5 of the image key — identical to the stand-in operators.multimodal.
+    attach_image_bytes synthesizes, so a corpus with payload bytes and one
+    without produce byte-identical downstream features."""
+    key = f"conv-{ci:06d}:{ti}:{page_num}:{image_index}"
+    return hashlib.md5(key.encode()).hexdigest()
+
+
 def _payload_vertical(rng, ci, ti):
     out = [_doc_header(rng, ci, ti), "%%PAGE 612 792"]
     # vertical-text obstacle (layout.py:211-215)
@@ -197,7 +208,7 @@ def _payload_vertical(rng, ci, ti):
     out.append("%%LN 300 120 320 400 0 1")
     out.append(f"%%SP 11 Times|{_sentence(rng, 3)}")
     # image + a text block inside it (layout.py:207-208)
-    out.append("%%IMG 80 420 280 560 200 140 rgb png")
+    out.append(f"%%IMG 80 420 280 560 200 140 rgb png {_img_hex(ci, ti, 0, 0)}")
     _emit_text_block(out, rng, 100.0, 450.0, 120.0, _sentence(rng, 2))
     y = 100.0
     for _ in range(3):
@@ -218,7 +229,8 @@ def _payload_images(rng, ci, ti):
             ext = rng.choice(("png", "jpeg"))
             out.append(
                 f"%%IMG {_g(x0)} {_g(y + 10)} {_g(x0 + 140)} {_g(y + 110)} "
-                f"{rng.randint(100, 800)} {rng.randint(100, 600)} {cs} {ext}"
+                f"{rng.randint(100, 800)} {rng.randint(100, 600)} {cs} {ext} "
+                f"{_img_hex(ci, ti, p, i)}"
             )
         if rng.random() < 0.5:
             out.append(f"%%TBL 72 {_g(y + 130)} 500 {_g(y + 190)}")

@@ -215,3 +215,37 @@ def test_tabula_shape_conversion():
     assert [r["table_index"] for r in recs] == [0, 1]
     assert recs[1]["data"] == [["z", "9"]]
     assert all(r["extraction_method"] == "tabula" for r in recs)
+
+
+def test_fitz_real_pdf_roundtrip():
+    """When PyMuPDF is present, build a tiny real PDF in-memory, round-trip
+    it through pdf_bytes_to_payload → parse_doc and assert block/meta/span
+    invariants — the adapter is then proven against the real library, not
+    only fitz-shaped fixtures. Skips cleanly where fitz is absent (this
+    container), keeping CI truthful about what is proven."""
+    import pytest
+
+    fitz = pytest.importorskip("fitz")
+
+    from metadatadocumentparser_spark.docparse import parse_doc
+    from metadatadocumentparser_spark.sources.fitz_adapter import pdf_bytes_to_payload
+
+    doc = fitz.open()
+    page = doc.new_page(width=612, height=792)
+    page.insert_text((72, 100), "Hello structural world", fontsize=11)
+    page.insert_text((72, 130), "Second line of text", fontsize=11)
+    doc.set_metadata({"title": "Tiny", "author": "Adapter Test"})
+    data = doc.tobytes()
+
+    payload = pdf_bytes_to_payload(data)
+    assert len(payload.pages) == 1
+    parsed = parse_doc(payload, file_size=len(data))
+    texts = [b["text"] for b in parsed["blocks"]]
+    assert any("Hello structural world" in t for t in texts)
+    assert parsed["meta"]["title"] == "Tiny"
+    assert parsed["meta"]["author"] == "Adapter Test"
+    assert parsed["meta"]["num_pages"] == 1
+    # span invariants: monotone, disjoint, within the synthetic text space
+    spans = parsed["spans"]
+    assert all(s[0] <= s[1] for s in spans)
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))

@@ -55,6 +55,18 @@ def test_ivf_recall(spark):
     assert {(x.qid, x.rank, x.nid) for x in r.collect()} == exact
 
 
+def test_ivf_candidates_unique(spark):
+    """(qid, nid) candidates are unique by construction — one list per
+    corpus vector, distinct probed lists per query — which is why
+    ivf_cosine_topk carries no .distinct() (it would be a full extra
+    shuffle of the scored candidate set)."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivf_cosine_topk(emb, q, k=10**9, n_list=8, n_probe=4)
+    rows = out.select("qid", "nid").collect()
+    assert len(rows) == len({(r.qid, r.nid) for r in rows})
+
+
 # ---------------------------------------------------------------- CDC chunking
 def test_cdc_chunks_tile_document():
     """Chunks must tile the document exactly: contiguous, in order, full

@@ -106,7 +106,7 @@ def test_images_exact(golden, engine_outputs):
         golden["images"],
         key,
         ["conv_id", "turn_idx", "image_index", "page_num", "bbox", "width",
-         "height", "colorspace", "ext"],
+         "height", "colorspace", "ext", "image_bytes"],
     )
 
 

@@ -53,3 +53,22 @@ def test_doc_error_flag():
     assert doc.meta is None and doc.meta_error
     ok = parse_payload("%%DOC title=ok;author=a")
     assert ok.meta == {"title": "ok", "author": "a"} and not ok.meta_error
+
+
+def test_img_bytes_roundtrip():
+    """%%IMG optional 9th token (hex payload) → ImageRec.image_bytes;
+    malformed hex is swallowed to None like every other payload error."""
+    from metadatadocumentparser_spark.payload import parse_payload
+
+    good = parse_payload(
+        "%%PAGE 612 792\n%%IMG 0 0 10 10 100 100 rgb png deadbeef"
+    ).pages[0].images[0]
+    assert good.image_bytes == bytes.fromhex("deadbeef")
+    none_ = parse_payload(
+        "%%PAGE 612 792\n%%IMG 0 0 10 10 100 100 rgb png"
+    ).pages[0].images[0]
+    assert none_.image_bytes is None
+    bad = parse_payload(
+        "%%PAGE 612 792\n%%IMG 0 0 10 10 100 100 rgb png zzNOTHEX"
+    ).pages[0].images[0]
+    assert bad.image_bytes is None

@@ -75,6 +75,31 @@ def test_save_images(spark, tmp_path):
     assert n == imgs.count() and n > 0
 
 
+def test_save_images_kernel_bytes(spark, tmp_path):
+    """image_bytes is threaded through the extraction schema itself
+    (%%IMG hex → ImageRec → kernel images struct → images_of): K6 writes
+    kernel-produced payload bytes with NO attach step, and the written
+    files contain exactly the payload's bytes."""
+    import hashlib
+
+    parsed = parse_transcripts(_df(spark))
+    imgs = images_of(parsed)  # no attach_image_bytes — kernel bytes only
+    rows = imgs.collect()
+    assert rows and all(r.image_bytes is not None for r in rows)
+    out = tmp_path / "kimgs"
+    n = save_images(imgs, str(out))
+    assert n == len(rows)
+    r = rows[0]
+    expect = hashlib.md5(
+        f"{r.conv_id}:{r.turn_idx}:{r.page_num}:{r.image_index}".encode()
+    ).digest()
+    assert bytes(r.image_bytes) == expect
+    written = (
+        out / f"image_{r.conv_id}_{r.turn_idx}_{r.page_num}_{r.image_index}.{r.ext}"
+    ).read_bytes()
+    assert written == expect
+
+
 def test_compare_extraction_methods(spark):
     r = compare_extraction_methods(_df(spark))
     assert set(r["text_extraction"].keys()) == {"pymupdf", "pdfplumber"}

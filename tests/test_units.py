@@ -292,3 +292,59 @@ def test_connected_components_zero_iter_raises(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=0)
+
+
+def test_hyperplane_bucket_matches_unrolled_and_scales(spark):
+    """The array-literal + aggregate(zip_with) form must produce buckets
+    bit-identical to the naive unrolled sum (same left-assoc double
+    arithmetic — verified against a pure-Python fold on real data), and
+    must build a plan at dim=512 (the unrolled form is n_planes*dim
+    expression nodes, which blows up Catalyst at production dims)."""
+    import hashlib
+
+    from metadatadocumentparser_spark.operators.similarity import hyperplane_bucket
+    from metadatadocumentparser_spark.sources import load_table
+
+    def coef(p, i):
+        hx = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:8]
+        return (int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    got = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id", hyperplane_bucket(F.col("embedding"), 6, 64).alias("b")
+        ).collect()
+    }
+    for r in emb.collect():
+        want = 0
+        for p in range(6):
+            acc = 0.0  # python float == IEEE double, left-assoc like the plan
+            for i in range(64):
+                acc = acc + float(r.embedding[i]) * coef(p, i)
+            if acc > 0:
+                want += 1 << p
+        assert got[r.vec_id] == want, r.vec_id
+
+    # dim=512: the plan must build and evaluate (plan size is n_planes nodes)
+    wide = spark.range(3).select(
+        "id", F.expr("transform(sequence(1, 512), i -> CAST(i % 7 AS FLOAT))").alias("v")
+    )
+    rows = wide.select("id", hyperplane_bucket(F.col("v"), 8, 512).alias("b")).collect()
+    assert len(rows) == 3 and all(r.b is not None for r in rows)
+
+
+def test_connected_components_long_chain(spark):
+    """Large-star/small-star converges in O(log diameter) rounds: a
+    200-node chain (diameter 199 ≫ 25 — label propagation would need 199
+    rounds and raise) must fully converge to one component labeled by the
+    minimum id, plus correct labels on a disjoint triangle."""
+    from metadatadocumentparser_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(5, 205)]           # one long path
+    tri = [(1000, 1001), (1001, 1002), (1000, 1002)]      # separate component
+    pairs = spark.createDataFrame(chain + tri, "id_a int, id_b int")
+    got = {r.id: r.label for r in connected_components(pairs, max_iter=25).collect()}
+    assert {got[i] for i in range(5, 206)} == {5}
+    assert {got[i] for i in (1000, 1001, 1002)} == {1000}
+    assert len(got) == 201 + 3
