@@ -81,22 +81,16 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def split_assign(
-    df: DataFrame,
-    id_col: str,
-    weights: dict[str, float] | None = None,
-    salt: str = "split",
-) -> DataFrame:
-    """Deterministic split: u = int(md5(salt:id)[:8], 16) / 2^32 ∈ [0,1),
-    assigned by cumulative weight thresholds. md5 (not engine-internal
-    hash) so any engine reproduces the identical assignment."""
+def split_column(id_col, weights: dict[str, float] | None = None, salt: str = "split"):
+    """Deterministic split as a plain Column (composable into any
+    projection): u = int(md5(salt:id)[:8], 16) / 2^32 ∈ [0,1), assigned by
+    cumulative weight thresholds. md5 (not engine-internal hash) so any
+    engine reproduces the identical assignment."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
-                1,
-                8,
+                F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8
             ),
             16,
             10,
@@ -110,8 +104,20 @@ def split_assign(
         expr = (
             F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
         )
-    expr = (expr.otherwise(items[-1][0]) if expr is not None else F.lit(items[-1][0]))
-    return df.select(F.col(id_col).alias("id"), expr.alias("split"))
+    return expr.otherwise(items[-1][0]) if expr is not None else F.lit(items[-1][0])
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """(id, split) projection of split_column — kept as the table-level API."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        split_column(F.col(id_col), weights, salt).alias("split"),
+    )
 
 
 def decontaminate(

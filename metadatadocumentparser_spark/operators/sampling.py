@@ -1,0 +1,54 @@
+"""Deterministic stratified sampling — the corpus-downsampling step every
+training-data pipeline runs (per-language / per-source rate control before
+tokenization).
+
+Why not ``df.sampleBy``: Spark's sampler draws from a seeded RNG whose
+stream depends on partition layout, so the SAME rows are not kept across
+repartitioning, AQE re-plans, or engines — unacceptable for reproducible
+dataset releases. Here the keep/drop decision is a pure function of the
+row id: u(id) = int(md5(salt:id)[:8], 16) / 2^32 (the same engine-portable
+uniform as quality.split_assign), so any engine — and any cluster size —
+reproduces the identical sample. Pure projection + filter: no shuffle, no
+state, trivially scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_uniform(id_col: Column, salt: str = "sample") -> Column:
+    """u ∈ [0, 1) as a deterministic function of the id (md5-derived)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / float(1 << 32)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row iff u(id) < rates[stratum] (strata not listed get
+    ``default_rate``). Returns the input rows that survive, unchanged."""
+    u = sample_uniform(F.col(id_col), salt)
+    rate = None
+    for name, r in rates.items():
+        rate = (
+            F.when(F.col(strata_col) == name, F.lit(float(r)))
+            if rate is None
+            else rate.when(F.col(strata_col) == name, F.lit(float(r)))
+        )
+    rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None else F.lit(
+        float(default_rate)
+    )
+    return df.where(u < rate)

@@ -348,3 +348,28 @@ def test_connected_components_long_chain(spark):
     assert {got[i] for i in range(5, 206)} == {5}
     assert {got[i] for i in (1000, 1001, 1002)} == {1000}
     assert len(got) == 201 + 3
+
+
+def test_stratified_sample_deterministic(spark):
+    """Same rows kept across repartitioning (md5-uniform, not sampleBy's
+    partition-dependent RNG); per-stratum keep rates near their targets;
+    unlisted strata get the default rate."""
+    from metadatadocumentparser_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "xx"][i % 3]) for i in range(3000)], "id long, lang string"
+    )
+    rates = {"en": 0.5, "de": 0.2}
+    a = {r.id for r in stratified_sample(df, "lang", "id", rates, 0.05).collect()}
+    b = {
+        r.id
+        for r in stratified_sample(df.repartition(17), "lang", "id", rates, 0.05).collect()
+    }
+    assert a == b and a
+    per = {"en": 0, "de": 0, "xx": 0}
+    for r in df.collect():
+        if r.id in a:
+            per[r.lang] += 1
+    assert abs(per["en"] / 1000 - 0.5) < 0.06
+    assert abs(per["de"] / 1000 - 0.2) < 0.05
+    assert abs(per["xx"] / 1000 - 0.05) < 0.03
