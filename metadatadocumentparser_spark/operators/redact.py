@@ -1,0 +1,49 @@
+"""PII redaction — the masking pass every public-corpus training pipeline
+runs before release (C4/Dolma-style email/phone/IP scrubbing).
+
+Pure native projection (regexp_count + a regexp_replace chain): one scan,
+zero shuffle, whole-stage codegen. Patterns deliberately use only regex
+syntax with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+character classes, bounded repetition, \\d, \\b — no backrefs, no
+lookaround — so the redacted output is byte-identical cross-engine and the
+operator is oracle-checkable end-to-end (md5 of the redacted text).
+
+Replacement order matters and is fixed: emails first (their local parts
+contain digits a phone pattern could half-match), then phones, then IPs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RX = "\\+?\\d{1,3}[ -]\\d{3}[ -]\\d{4}"
+IPV4_RX = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+_CHAIN = (
+    (EMAIL_RX, "<EMAIL>"),
+    (PHONE_RX, "<PHONE>"),
+    (IPV4_RX, "<IP>"),
+)
+
+
+def redacted_text(text_col: Column) -> Column:
+    """The masked text (fixed email → phone → IP replacement order)."""
+    out = text_col
+    for rx, token in _CHAIN:
+        out = F.regexp_replace(out, rx, token)
+    return out
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_emails, n_phones, n_ips, redacted): per-doc PII hit counts
+    (counted on the ORIGINAL text, before masking) plus the masked text."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(t, F.lit(EMAIL_RX)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RX)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RX)).cast("bigint").alias("n_ips"),
+        redacted_text(t).alias("redacted"),
+    )

@@ -373,3 +373,22 @@ def test_stratified_sample_deterministic(spark):
     assert abs(per["en"] / 1000 - 0.5) < 0.06
     assert abs(per["de"] / 1000 - 0.2) < 0.05
     assert abs(per["xx"] / 1000 - 0.05) < 0.03
+
+
+def test_redact_pii_semantics(spark):
+    """Counts on the original text, fixed email→phone→IP masking order,
+    no PII → text unchanged."""
+    from metadatadocumentparser_spark.operators.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io and bob@y.org call +44 123-4567 from 192.168.0.1"),
+            (2, "no pii here just words 12 34"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r for r in redact_pii(df, "id", "text").collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (2, 1, 1)
+    assert got[1].redacted == "mail <EMAIL> and <EMAIL> call <PHONE> from <IP>"
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 0)
+    assert got[2].redacted == "no pii here just words 12 34"
