@@ -1,10 +1,20 @@
 """The vectorized structural parse kernel (the engine's ONE heavy UDF).
 
-``mapInPandas`` over transcript rows: each Arrow batch of turns is parsed
-structurally (payload → blocks/images/tables/meta/segments with char spans)
-and returned as nested arrays — one output row per turn. Everything
-downstream (classification, formula scoring, LaTeX, boilerplate tree,
-ordering, indexes) is native Catalyst on the exploded arrays.
+``mapInPandas`` / ``mapInArrow`` over transcript rows: each Arrow batch of
+turns is parsed structurally (payload → blocks/images/tables/meta/segments
+with char spans) and returned as nested arrays — one output row per turn.
+Everything downstream (classification, formula scoring, LaTeX, boilerplate
+tree, ordering, indexes) is native Catalyst on the exploded arrays.
+
+Two physically different kernels share ONE record builder (identical
+output, golden-checked):
+- pandas kernel (mapInPandas): dict records → pandas object DataFrame →
+  Arrow (Spark's serializer does the pandas→Arrow conversion per batch).
+- arrow kernel (mapInArrow): dict records → pa.RecordBatch.from_pylist
+  directly against the derived Arrow schema — skips the pandas
+  object-DataFrame layer entirely (no block-manager, no object-dtype
+  inference on deeply nested columns). See plans/pipeline.parse_transcripts
+  (engine=...) for the measured comparison.
 
 Scale notes:
 - per-turn independence → the kernel needs no grouping, no shuffle; it runs
@@ -61,6 +71,99 @@ PARSED_DDL = ", ".join(
     ]
 )
 
+_OUT_COLUMNS = [
+    "conv_id", "turn_idx", "role", "tool", "ts", "html_raw", "is_html",
+    "meta", "column_layout", "extracted_text", "spans", "blocks",
+    "images", "tables", "segments",
+]
+
+
+def _turn_record(conv_id, turn_idx, role, tool, ts, text, parse_kwargs) -> dict:
+    """Parse ONE turn into the output-row dict (shared by both kernels)."""
+    text = text if isinstance(text, str) else ""
+    parsed = docparse.parse_turn(text, **parse_kwargs)
+    is_html = parsed["html"] is not None
+    html_raw = parsed["html"] if is_html else None
+    if is_html:
+        segments = [
+            {
+                "seg_idx": s["seg_idx"],
+                "text": s["text"],
+                "start": s["start"],
+                "end": s["end"],
+                "tag_path": s["tag_path"],
+                "words": s["words"],
+                "link_density": s["link_density"],
+                "boiler_container": s["boiler_container"],
+            }
+            for s in htmlseg.segment_html(parsed["html"], parsed["html_start"])
+        ]
+        extracted_text = None  # assembled natively from content segments
+        spans = None
+        column_layout = None
+    else:
+        segments = []
+        extracted_text = parsed["extracted_text"]
+        spans = [{"start": s[0], "end": s[1]} for s in parsed["spans"]]
+        column_layout = parsed["column_layout"]
+    m = parsed["meta"]
+    return {
+        "conv_id": conv_id,
+        "turn_idx": int(turn_idx),
+        "role": role,
+        "tool": tool,
+        "ts": ts,
+        "html_raw": html_raw,
+        "is_html": is_html,
+        "meta": {
+            **{k: m[k] for k in (
+                "title", "author", "subject", "creator", "producer",
+                "creation_date", "modification_date", "num_pages", "file_size",
+            )},
+            "page_sizes": [
+                {"width": p[0], "height": p[1]} for p in m["page_sizes"]
+            ],
+        },
+        "column_layout": column_layout,
+        "extracted_text": extracted_text,
+        "spans": spans,
+        "blocks": [
+            {
+                "block_idx": b["block_idx"],
+                "page_num": b["page_num"],
+                "bbox": b["bbox"],
+                "text": b["text"],
+                "font_size": b["font_size"],
+                "font_name": b["font_name"],
+                "needs_classify": b["needs_classify"],
+                "page_height": b["page_height"],
+                "span_start": b["span_start"],
+                "span_end": b["span_end"],
+            }
+            for b in parsed["blocks"]
+        ],
+        "images": parsed["images"],
+        "tables": parsed["tables"],
+        "segments": segments,
+    }
+
+
+def _flags(
+    text_method, layout_aware, column_aware, header_margin, footer_margin,
+    table_method, extract_text, extract_images_flag, extract_tables_flag,
+) -> dict:
+    return dict(
+        text_method=text_method,
+        layout_aware=layout_aware,
+        column_aware=column_aware,
+        header_margin=header_margin,
+        footer_margin=footer_margin,
+        table_method=table_method,
+        extract_text=extract_text,
+        extract_images_flag=extract_images_flag,
+        extract_tables_flag=extract_tables_flag,
+    )
+
 
 def make_parse_kernel(
     text_method: str = "pymupdf",
@@ -76,99 +179,54 @@ def make_parse_kernel(
     """Returns the mapInPandas function for the given parse flags (the
     reference parse() kwargs, parser.py:56-68). Flags are plain closure
     values — they select code paths once per batch, never per row."""
+    kw = _flags(
+        text_method, layout_aware, column_aware, header_margin, footer_margin,
+        table_method, extract_text, extract_images_flag, extract_tables_flag,
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = []
-            for conv_id, turn_idx, role, tool, ts, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["tool"], pdf["ts"], pdf["text"]
-            ):
-                text = text if isinstance(text, str) else ""
-                parsed = docparse.parse_turn(
-                    text,
-                    text_method=text_method,
-                    layout_aware=layout_aware,
-                    column_aware=column_aware,
-                    header_margin=header_margin,
-                    footer_margin=footer_margin,
-                    table_method=table_method,
-                    extract_text=extract_text,
-                    extract_images_flag=extract_images_flag,
-                    extract_tables_flag=extract_tables_flag,
+            recs = [
+                _turn_record(*row, kw)
+                for row in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["role"],
+                    pdf["tool"], pdf["ts"], pdf["text"],
                 )
-                is_html = parsed["html"] is not None
-                html_raw = parsed["html"] if is_html else None
-                if is_html:
-                    segments = [
-                        {
-                            "seg_idx": s["seg_idx"],
-                            "text": s["text"],
-                            "start": s["start"],
-                            "end": s["end"],
-                            "tag_path": s["tag_path"],
-                            "words": s["words"],
-                            "link_density": s["link_density"],
-                            "boiler_container": s["boiler_container"],
-                        }
-                        for s in htmlseg.segment_html(parsed["html"], parsed["html_start"])
-                    ]
-                    extracted_text = None  # assembled natively from content segments
-                    spans = None
-                    column_layout = None
-                else:
-                    segments = []
-                    extracted_text = parsed["extracted_text"]
-                    spans = [{"start": s[0], "end": s[1]} for s in parsed["spans"]]
-                    column_layout = parsed["column_layout"]
-                m = parsed["meta"]
-                recs.append(
-                    {
-                        "conv_id": conv_id,
-                        "turn_idx": int(turn_idx),
-                        "role": role,
-                        "tool": tool,
-                        "ts": ts,
-                        "html_raw": html_raw,
-                        "is_html": is_html,
-                        "meta": {
-                            **{k: m[k] for k in (
-                                "title", "author", "subject", "creator", "producer",
-                                "creation_date", "modification_date", "num_pages", "file_size",
-                            )},
-                            "page_sizes": [
-                                {"width": p[0], "height": p[1]} for p in m["page_sizes"]
-                            ],
-                        },
-                        "column_layout": column_layout,
-                        "extracted_text": extracted_text,
-                        "spans": spans,
-                        "blocks": [
-                            {
-                                "block_idx": b["block_idx"],
-                                "page_num": b["page_num"],
-                                "bbox": b["bbox"],
-                                "text": b["text"],
-                                "font_size": b["font_size"],
-                                "font_name": b["font_name"],
-                                "needs_classify": b["needs_classify"],
-                                "page_height": b["page_height"],
-                                "span_start": b["span_start"],
-                                "span_end": b["span_end"],
-                            }
-                            for b in parsed["blocks"]
-                        ],
-                        "images": parsed["images"],
-                        "tables": parsed["tables"],
-                        "segments": segments,
-                    }
-                )
-            yield pd.DataFrame.from_records(
-                recs,
-                columns=[
-                    "conv_id", "turn_idx", "role", "tool", "ts", "html_raw", "is_html",
-                    "meta", "column_layout", "extracted_text", "spans", "blocks",
-                    "images", "tables", "segments",
-                ],
-            )
+            ]
+            yield pd.DataFrame.from_records(recs, columns=_OUT_COLUMNS)
+
+    return kernel
+
+
+def make_parse_kernel_arrow(
+    arrow_schema,
+    text_method: str = "pymupdf",
+    layout_aware: bool = True,
+    column_aware: bool = True,
+    header_margin: float = 50,
+    footer_margin: float = 50,
+    table_method: str = "camelot",
+    extract_text: bool = True,
+    extract_images_flag: bool = True,
+    extract_tables_flag: bool = True,
+):
+    """mapInArrow variant: identical records, encoded straight to a
+    pa.RecordBatch against the pre-derived schema (derive it on the driver
+    with pyspark.sql.pandas.types.to_arrow_schema — executors have no
+    session). Skips the pandas object-DataFrame layer the mapInPandas path
+    pays on both sides of the serializer."""
+    import pyarrow as pa
+
+    kw = _flags(
+        text_method, layout_aware, column_aware, header_margin, footer_margin,
+        table_method, extract_text, extract_images_flag, extract_tables_flag,
+    )
+    in_cols = ("conv_id", "turn_idx", "role", "tool", "ts", "text")
+
+    def kernel(batches):
+        for batch in batches:
+            cols = [batch.column(c).to_pylist() for c in in_cols]
+            recs = [_turn_record(*row, kw) for row in zip(*cols)]
+            yield pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
 
     return kernel
