@@ -4,7 +4,8 @@ chain them:
 
     quality gate (repetition + score) → exact dedup → near-dup dedup
     (MinHash-LSH clusters) → chunk-grain dedup (CDC) → benchmark
-    decontamination → deterministic train/val/test split
+    decontamination → PII redaction → stratified downsampling →
+    deterministic train/val/test split
 
 Every operator here is oracle-checked individually by the driver
 (`__spark_entry__.py`); this example shows the composition. At 100 TB the
@@ -71,8 +72,30 @@ def main():
     )
     print(f"decontaminate: -> {clean.count()} docs")
 
-    # 6. deterministic split (stable under repartitioning/cluster size)
-    split = quality.split_assign(clean, "doc_id")
+    # 6. PII redaction: mask emails/phones/IPs before release (the masked
+    #    text replaces the raw text from here on)
+    from metadatadocumentparser_spark.operators.redact import redact_pii
+
+    red = redact_pii(clean, "doc_id", "text")
+    n_pii = red.agg(
+        F.sum(F.col("n_emails") + F.col("n_phones") + F.col("n_ips"))
+    ).collect()[0][0]
+    print(f"PII redaction: {n_pii or 0} spans masked")
+    clean = clean.drop("text").join(
+        red.select(F.col("id").alias("doc_id"), F.col("redacted").alias("text")),
+        "doc_id",
+    )
+
+    # 7. per-language downsampling (deterministic, engine-portable)
+    from metadatadocumentparser_spark.operators.sampling import stratified_sample
+
+    sampled = stratified_sample(
+        clean, "lang", "doc_id", {"en": 0.8, "de": 0.5}, default_rate=0.3
+    )
+    print(f"stratified sample: -> {sampled.count()} docs")
+
+    # 8. deterministic split (stable under repartitioning/cluster size)
+    split = quality.split_assign(sampled, "doc_id")
     split.groupBy("split").count().orderBy("split").show()
 
     spark.stop()

@@ -171,3 +171,23 @@ def test_source_format_roundtrip(spark, tmp_path):
             write_table(src, path, fmt)
             got = sorted(map(str, read_table_as(spark, path, fmt, schema).collect()))
             assert got == want, f"{table} via {fmt}: row mismatch"
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy layout: a lang='en' filter must reach the
+    scan as a PartitionFilter (directory pruning — the 100 TB layout move
+    that turns a full-corpus read into one partition's files), and results
+    must equal the unpartitioned read."""
+    from metadatadocumentparser_spark.sources import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    d.write.partitionBy("lang").mode("overwrite").parquet(path)
+
+    part = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:800]
+    # the data filter must NOT be re-applied as a post-scan Filter on lang
+    got = {r.doc_id for r in part.collect()}
+    want = {r.doc_id for r in d.where(F.col("lang") == "en").collect()}
+    assert got == want and got
