@@ -72,7 +72,11 @@ def content_defined_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFra
                 }
             )
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    from ._util import ensure_min_parallelism
+
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
     return src.mapInPandas(kernel, schema=CHUNK_DDL)
 
 

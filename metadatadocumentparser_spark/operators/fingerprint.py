@@ -72,7 +72,11 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
                                 "fingerprint": pd.Series(fps, dtype="int64")})
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    from ._util import ensure_min_parallelism
+
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    )
     return src.mapInPandas(kernel, schema="id bigint, fingerprint bigint")
 
 

@@ -36,6 +36,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens covered by it); both 0 when undefined (0 tokens / <2 tokens).
     Word stats are array-native (zero shuffle); the bigram mode needs a
     per-(doc, bigram) count — one aggregation keyed by (id, bigram)."""
+    # no ensure_min_parallelism: like simhash, the bigram partial agg is a
+    # cheap count per row — the repartition shuffle costs more than the
+    # serial map side saves (see dedup.simhash for the measurement)
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = df.select(
         F.col(id_col).alias("id"),
