@@ -120,8 +120,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct candidate pairs sharing at least one LSH band bucket."""
+def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band, bkey) LSH band rows — the joinable index form of the
+    MinHash signatures (used by minhash_lsh_pairs and the streaming
+    incremental near-dup index)."""
     sig = minhash_signatures(df, id_col, text_col)
     r = NUM_HASHES // BANDS
     band_rows = []
@@ -131,6 +133,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bands = band_rows[0]
     for extra in band_rows[1:]:
         bands = bands.unionByName(extra)
+    return bands
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band bucket."""
+    bands = minhash_band_rows(df, id_col, text_col)
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])

@@ -124,3 +124,76 @@ def streaming_exact_dedup(
     if available_now:
         return writer.trigger(availableNow=True).start()
     return writer.start()
+
+
+def streaming_near_dup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    available_now: bool = True,
+):
+    """Streaming INCREMENTAL near-dup detection — the online analogue of
+    operators/dedup.minhash_lsh_pairs: every microbatch of documents is
+    banded (MinHash-LSH) and candidate pairs are emitted both WITHIN the
+    batch and AGAINST the accumulated band index of everything seen so
+    far; the batch's band rows are then appended to the index.
+
+    Pairs are normalized to (id_a < id_b) so the union over all batches
+    equals the batch operator's pair set over the full corpus (each pair
+    is found exactly once: intra-batch by the self-join, cross-batch by
+    the index join of the LATER batch).
+
+    State model: the index is a plain parquet table of (id, band, bkey) —
+    4 tiny rows per document, queryable/compactable/partitionable like any
+    table (no opaque state store), which is what an unbounded corpus
+    needs; bound it by retention-pruning old ids if the dedup horizon is
+    finite. foreachBatch may re-run a batch on failure, so both the index
+    and the pair output are written idempotently-readable (consumers take
+    DISTINCT; the test does).
+    """
+    from ..operators.dedup import minhash_band_rows
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int):
+        bands = minhash_band_rows(batch_df, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        intra = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "bkey"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        pairs = intra
+        if os.path.exists(os.path.join(index_dir, "_SUCCESS")) or (
+            os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)
+            )
+        ):
+            idx = spark.read.parquet(index_dir)
+            cross = (
+                bands.alias("a")
+                .join(idx.alias("b"), ["band", "bkey"])
+                .where(F.col("a.id") != F.col("b.id"))
+                .select(
+                    F.least("a.id", "b.id").alias("id_a"),
+                    F.greatest("a.id", "b.id").alias("id_b"),
+                )
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.distinct().write.mode("append").parquet(output_dir)
+        bands.write.mode("append").parquet(index_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

@@ -223,3 +223,40 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got_fps = {r.h for r in got.select("h").collect()}
     assert got_fps == batch_fps
     assert got.count() == len(batch_fps)  # exactly one survivor per content
+
+
+def test_streaming_near_dup_equals_batch(spark, tmp_path):
+    """Incremental MinHash-LSH near-dup: the union of pair outputs over all
+    microbatches (intra-batch self-join + cross-batch index join) must
+    equal the BATCH minhash_lsh_pairs over the full corpus — each pair
+    found exactly once regardless of how the corpus was split into
+    batches."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.operators import dedup
+    from metadatadocumentparser_spark.streaming.stream import streaming_near_dup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select(
+        "doc_id", "text", F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    indir, out, ckpt, idx = (str(tmp_path / d) for d in ("nin", "nout", "nckpt", "nidx"))
+    # 3 input files, streamed one per microbatch (maxFilesPerTrigger=1)
+    base.repartition(3).write.mode("overwrite").parquet(indir)
+
+    q = streaming_near_dup(spark, indir, out, ckpt, idx)
+    q.awaitTermination(240)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out).distinct().collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert want, "no near-dup pairs in the corpus — weak test"
+    assert got == want
+    # the index accumulated every doc's band rows (4 per doc with shingles)
+    idx_ids = {r.id for r in spark.read.parquet(idx).select("id").distinct().collect()}
+    sig_ids = {r.id for r in dedup.minhash_signatures(docs, "doc_id", "text").select("id").collect()}
+    assert idx_ids == sig_ids
