@@ -392,3 +392,71 @@ def test_redact_pii_semantics(spark):
     assert got[1].redacted == "mail <EMAIL> and <EMAIL> call <PHONE> from <IP>"
     assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 0)
     assert got[2].redacted == "no pii here just words 12 34"
+
+
+def test_pack_sequences_invariants(spark):
+    """Sample packing: every doc in exactly one pack; no pack exceeds
+    capacity unless it is a single oversize doc; deterministic across
+    repartitioning; utilization well above the unpacked baseline."""
+    from metadatadocumentparser_spark.operators.packing import pack_sequences
+    from metadatadocumentparser_spark.sources import load_table
+    from metadatadocumentparser_spark.functions import textstats
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    cap = 512
+    packs = pack_sequences(d, "doc_id", "n_tokens", capacity=cap, n_shards=16).collect()
+
+    all_ids = [i for p in packs for i in p.ids]
+    assert len(all_ids) == len(set(all_ids)) == d.count()   # exactly-once
+    for p in packs:
+        assert p.total_tokens <= cap or (p.oversize and p.n_docs == 1)
+        assert p.n_docs == len(p.ids)
+    sizes = {r.doc_id: r.n_tokens for r in d.collect()}
+    for p in packs:
+        assert p.total_tokens == sum(sizes[i] for i in p.ids)
+
+    # deterministic under repartitioning (md5 shards, FFD sorted)
+    again = pack_sequences(d.repartition(13), "doc_id", "n_tokens", cap, 16).collect()
+    key = lambda rows: sorted((r.pack_id, tuple(r.ids)) for r in rows)  # noqa: E731
+    assert key(packs) == key(again)
+
+    # packing must beat one-doc-per-sequence utilization substantially
+    total_tokens = sum(sizes.values())
+    packed_util = total_tokens / (len(packs) * cap)
+    unpacked_util = total_tokens / (len(sizes) * cap)
+    assert packed_util > 0.7 and packed_util > 1.5 * unpacked_util, (
+        packed_util, unpacked_util)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 quantization: |x - dequant(quant(x))| <= scale/2 per element,
+    cosine preserved to ~1e-2, zero-vector safe, values within [-127,127]."""
+    from metadatadocumentparser_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from metadatadocumentparser_spark.sources import load_table
+    import math
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    q = quantize_embeddings(e, "vec_id", "embedding")
+    deq = dequantize_embeddings(q)
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in e.collect()}
+    back = {r.id: r.vec for r in deq.collect()}
+    scales = {r.id: r.scale for r in q.collect()}
+    for r in q.collect():
+        assert all(-127 <= int(v) <= 127 for v in r.qvec)
+    for i, v in orig.items():
+        s = scales[i]
+        assert all(abs(a - b) <= s / 2 + 1e-12 for a, b in zip(v, back[i]))
+        dot = sum(a * b for a, b in zip(v, back[i]))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in back[i]))
+        if na > 0 and nb > 0:
+            assert dot / (na * nb) > 0.99
+
+    z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id int, embedding array<float>")
+    zq = quantize_embeddings(z, "vec_id", "embedding").collect()[0]
+    assert zq.scale == 0.0 and all(v == 0 for v in zq.qvec)
