@@ -133,3 +133,27 @@ def test_winnowing_guarantee(shared, pad):
     d2 = "zzz" + shared + ("y" * pad)
     f1, f2 = set(_winnow_one(d1)), set(_winnow_one(d2))
     assert f1 & f2
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.integers(1, 400), min_size=0, max_size=80),
+    st.integers(64, 512),
+)
+def test_ffd_packing_invariants(sizes, capacity):
+    """Pure FFD kernel (operators/packing._ffd): every item packed exactly
+    once; no pack over capacity unless single-item oversize; determinism;
+    and the FFD guarantee that at most one pack is < half full (otherwise
+    two half-empty packs would have been merged by first-fit)."""
+    from metadatadocumentparser_spark.operators.packing import _ffd
+
+    ids = list(range(100, 100 + len(sizes)))
+    packs = _ffd(ids, sizes, capacity)
+    got = sorted(i for p in packs for i in p[0])
+    assert got == sorted(ids)
+    for members, total, oversize in packs:
+        assert total == sum(sizes[i - 100] for i in members)
+        assert total <= capacity or (oversize and len(members) == 1)
+    assert packs == _ffd(ids, sizes, capacity)
+    under_half = [p for p in packs if p[1] < capacity / 2 and not p[2]]
+    assert len(under_half) <= 1
