@@ -88,18 +88,13 @@ def split_column(id_col, weights: dict[str, float] | None = None, salt: str = "s
     """Deterministic split as a plain Column (composable into any
     projection): u = int(md5(salt:id)[:8], 16) / 2^32 ∈ [0,1), assigned by
     cumulative weight thresholds. md5 (not engine-internal hash) so any
-    engine reproduces the identical assignment."""
+    engine reproduces the identical assignment. The uniform lives in ONE
+    place (sampling.sample_uniform) — it is the formula every DuckDB
+    oracle mirrors byte-for-byte; two hand-maintained copies would drift."""
+    from .sampling import sample_uniform
+
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double")
-        / float(1 << 32)
-    )
+    u = sample_uniform(id_col, salt=salt)
     acc, expr = 0.0, None
     items = list(weights.items())
     for name, w in items[:-1]:

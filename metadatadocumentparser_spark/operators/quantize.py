@@ -8,10 +8,17 @@ Fully native (zero shuffle, whole-stage codegen — no UDF):
   all-zero vector, q = 0s).
 - dequantize: x̂_i = q_i · s.
 
-Deterministic and engine-portable: the only nonlinearity is the explicit
-floor(x + 0.5) half-up rounding (Spark round() half-up vs DuckDB
-half-even would disagree at exact .5 — same policy as
-functions.textstats.half_up_scaled, sign-symmetric for negatives).
+Deterministic and engine-portable: the only nonlinearity is explicit
+round-HALF-AWAY-FROM-ZERO (floor(|x| + 0.5)·sign(x)) — NOT the same as
+floor(x + 0.5) at negative halves (-2.5 → -3 here, -2 there); a mirror in
+another engine must use FLOOR(ABS(x) + 0.5) * SIGN(x), never the engine's
+round() (half-up vs banker's half-even disagree at exact .5).
+
+NULL/NaN elements: a non-finite or missing element quantizes to NULL (and
+dequantizes back to NULL) and is EXCLUDED from the scale computation —
+without that, least/greatest's NULL-skipping would silently clamp a NULL
+rounding result to +127, and one NaN would poison the scale and corrupt
+the whole vector to ±127 garbage.
 """
 
 from __future__ import annotations
@@ -34,20 +41,24 @@ def quantize_embeddings(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    amax = F.array_max(F.transform("v", F.abs))
+    finite = lambda x: x.isNotNull() & ~F.isnan(x)  # noqa: E731
+    amax = F.array_max(F.transform(F.filter("v", finite), F.abs))
     base = base.withColumn(
-        "scale", F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+        "scale", F.when(amax.isNotNull() & (amax > 0), amax / F.lit(127.0)).otherwise(F.lit(0.0))
     )
     q = F.transform(
         "v",
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(
-                F.lit(127),
-                F.when(F.col("scale") > 0, _round_half_away(x / F.col("scale")))
-                .otherwise(F.lit(0)),
+        lambda x: F.when(
+            finite(x),
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.when(F.col("scale") > 0, _round_half_away(x / F.col("scale")))
+                    .otherwise(F.lit(0)),
+                ),
             ),
-        ).cast("tinyint"),
+        ).cast("tinyint"),  # non-finite elements -> NULL, never a clamped 127
     )
     return base.select("id", "scale", q.alias("qvec"))
 

@@ -172,12 +172,15 @@ def streaming_near_dup(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         )
         pairs = intra
-        if os.path.exists(os.path.join(index_dir, "_SUCCESS")) or (
-            os.path.isdir(index_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(index_dir)
-            )
-        ):
+        # detect the index THROUGH Spark (not os.path — the index may live
+        # on HDFS/S3/any URI filesystem where local-path checks are always
+        # false and cross-batch pairs would be silently dropped)
+        try:
             idx = spark.read.parquet(index_dir)
+            have_index = True
+        except Exception:  # PATH_NOT_FOUND on the very first batch
+            have_index = False
+        if have_index:
             cross = (
                 bands.alias("a")
                 .join(idx.alias("b"), ["band", "bkey"])

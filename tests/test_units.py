@@ -460,3 +460,25 @@ def test_quantize_embeddings_roundtrip(spark):
     z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id int, embedding array<float>")
     zq = quantize_embeddings(z, "vec_id", "embedding").collect()[0]
     assert zq.scale == 0.0 and all(v == 0 for v in zq.qvec)
+
+
+def test_quantize_null_nan_safe(spark):
+    """Review finding (r3): least/greatest skip NULLs, so a NULL element
+    used to clamp to +127 and one NaN poisoned the whole vector. Non-finite
+    elements must quantize to NULL without disturbing the finite ones."""
+    from metadatadocumentparser_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None, -2.0]), (2, [float("nan"), 4.0, -4.0])],
+        "vec_id int, embedding array<double>",
+    )
+    q = {r.id: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert list(q[1].qvec) == [64, None, -127] and abs(q[1].scale - 2.0 / 127) < 1e-12
+    assert list(q[2].qvec) == [None, 127, -127] and abs(q[2].scale - 4.0 / 127) < 1e-12
+    back = {r.id: r.vec for r in dequantize_embeddings(
+        quantize_embeddings(df, "vec_id", "embedding")).collect()}
+    assert back[1][1] is None and back[2][0] is None
+    assert abs(back[1][0] - 64 * 2.0 / 127) < 1e-12
