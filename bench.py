@@ -143,9 +143,15 @@ def main():
     )
 
     def timed(name, fn):
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # min-of-2: single-shot op timings on this host show 1.5-2×
+        # noisy-neighbor outliers (same policy as the extraction stages)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     li = load_table(spark, sf_dir, "lineitem")
     timed(

@@ -175,10 +175,14 @@ def streaming_near_dup(
         # detect the index THROUGH Spark (not os.path — the index may live
         # on HDFS/S3/any URI filesystem where local-path checks are always
         # false and cross-batch pairs would be silently dropped)
+        from pyspark.errors import AnalysisException
+
         try:
             idx = spark.read.parquet(index_dir)
             have_index = True
-        except Exception:  # PATH_NOT_FOUND on the very first batch
+        except AnalysisException:  # PATH_NOT_FOUND on the very first batch
+            # anything else (permissions, corruption) must surface, not
+            # silently degrade to intra-batch-only pairs
             have_index = False
         if have_index:
             cross = (
