@@ -73,10 +73,18 @@ def pack_sequences(
         .cast("bigint"),
         F.lit(n_shards),
     ).cast("int")
+    # a NULL id has no identity to pack under — fail loudly (a silent drop
+    # or a NaN shard key would either lose rows or crash the pandas kernel
+    # with an opaque dtype error); a NULL size packs as 0 tokens (an
+    # unmeasured doc occupies no capacity — documented contract)
+    null_id_guard = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit("pack_sequences: NULL id cannot be packed")),
+    ).otherwise(F.col(id_col).cast("bigint"))
     src = df.select(
         shard.alias("shard"),
-        F.col(id_col).cast("bigint").alias("id"),
-        F.col(size_col).cast("bigint").alias("sz"),
+        null_id_guard.alias("id"),
+        F.coalesce(F.col(size_col).cast("bigint"), F.lit(0)).alias("sz"),
     )
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -41,7 +41,12 @@ def quantize_embeddings(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    finite = lambda x: x.isNotNull() & ~F.isnan(x)  # noqa: E731
+    # finite means finite: NaN AND ±Infinity excluded (an Infinity element
+    # would otherwise make scale=inf → inf/inf=NaN → ANSI CAST_OVERFLOW
+    # crash, or silent all-zero quantization with ANSI off)
+    finite = lambda x: (  # noqa: E731
+        x.isNotNull() & ~F.isnan(x) & (F.abs(x) < F.lit(float("inf")))
+    )
     amax = F.array_max(F.transform(F.filter("v", finite), F.abs))
     base = base.withColumn(
         "scale", F.when(amax.isNotNull() & (amax > 0), amax / F.lit(127.0)).otherwise(F.lit(0.0))

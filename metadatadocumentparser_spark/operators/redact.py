@@ -38,12 +38,20 @@ def redacted_text(text_col: Column) -> Column:
 
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_emails, n_phones, n_ips, redacted): per-doc PII hit counts
-    (counted on the ORIGINAL text, before masking) plus the masked text."""
+    plus the masked text. Each count is taken on the text AS THE MASKING
+    CHAIN SEES IT (phones counted after emails are masked, IPs after
+    both): counting everything on the original text would claim matches
+    the mask never removed — e.g. a phone-shaped substring inside an
+    email's local part is consumed by the <EMAIL> mask, so it must not
+    count as a phone. Counts therefore equal the number of tokens the
+    mask actually inserted."""
     t = F.col(text_col)
+    after_email = F.regexp_replace(t, EMAIL_RX, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PHONE_RX, "<PHONE>")
     return df.select(
         F.col(id_col).alias("id"),
         F.regexp_count(t, F.lit(EMAIL_RX)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_RX)).cast("bigint").alias("n_phones"),
-        F.regexp_count(t, F.lit(IPV4_RX)).cast("bigint").alias("n_ips"),
-        redacted_text(t).alias("redacted"),
+        F.regexp_count(after_email, F.lit(PHONE_RX)).cast("bigint").alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(IPV4_RX)).cast("bigint").alias("n_ips"),
+        F.regexp_replace(after_phone, IPV4_RX, "<IP>").alias("redacted"),
     )

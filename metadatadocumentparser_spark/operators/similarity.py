@@ -85,16 +85,32 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
         hx = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:8]
         return (int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0
 
+    # slice to dim: longer vectors use their first dim elements (the
+    # unrolled form's behavior). WITHOUT the slice, zip_with NULL-pads any
+    # length mismatch → NULL dot → every mismatched vector lands in bucket
+    # 0 and the bucket equi-join degenerates to one O(N²) block, silently.
+    # Shorter-than-dim vectors are a caller error — raise, don't mis-bucket.
+    head = F.slice(vec_col, 1, dim)
     bucket = F.lit(0)
     for p in range(n_planes):
         plane = F.lit([coef(p, i) for i in range(dim)])
         acc = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.zip_with(head, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda a, x: a + x,
         )
         bucket = bucket + F.when(acc > 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+    return F.when(
+        F.size(vec_col) >= dim, bucket
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hyperplane_bucket: vector shorter than dim={dim} (size "),
+                F.size(vec_col).cast("string"),
+                F.lit(") — pass the actual embedding dim"),
+            )
+        )
+    )
 
 
 def lsh_cosine_topk(

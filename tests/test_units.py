@@ -482,3 +482,50 @@ def test_quantize_null_nan_safe(spark):
         quantize_embeddings(df, "vec_id", "embedding")).collect()}
     assert back[1][1] is None and back[2][0] is None
     assert abs(back[1][0] - 64 * 2.0 / 127) < 1e-12
+
+
+def test_review_hardening_r3(spark):
+    """Second self-review pass (r3): Infinity-safe quantization, short
+    vectors raise in hyperplane_bucket (never silently bucket 0),
+    pack_sequences handles NULL size and rejects NULL id loudly, redaction
+    counts agree with the masking chain (a phone inside an email local
+    part is consumed by <EMAIL> and must not count as a phone)."""
+    import pytest
+    from metadatadocumentparser_spark.operators.packing import pack_sequences
+    from metadatadocumentparser_spark.operators.quantize import quantize_embeddings
+    from metadatadocumentparser_spark.operators.redact import redact_pii
+    from metadatadocumentparser_spark.operators.similarity import hyperplane_bucket
+
+    inf = float("inf")
+    q = quantize_embeddings(
+        spark.createDataFrame([(1, [1.0, inf, -2.0])], "vec_id int, embedding array<double>"),
+        "vec_id", "embedding",
+    ).collect()[0]
+    assert abs(q.scale - 2.0 / 127) < 1e-12 and list(q.qvec) == [64, None, -127]
+
+    wide = spark.createDataFrame([(1, [float(i) for i in range(80)])], "id int, v array<double>")
+    b80 = wide.select(hyperplane_bucket(F.col("v"), 4, 64).alias("b")).collect()[0].b
+    b64 = wide.select(
+        F.slice("v", 1, 64).alias("v64")
+    ).select(hyperplane_bucket(F.col("v64"), 4, 64).alias("b")).collect()[0].b
+    assert b80 == b64  # longer vectors use their first dim elements
+    short = spark.createDataFrame([(1, [1.0, 2.0])], "id int, v array<double>")
+    with pytest.raises(Exception, match="shorter than dim"):
+        short.select(hyperplane_bucket(F.col("v"), 4, 64).alias("b")).collect()
+
+    pk = spark.createDataFrame([(1, None), (2, 10)], "id int, n int")
+    packs = pack_sequences(pk, "id", "n", capacity=16, n_shards=2).collect()
+    assert sorted(i for p in packs for i in p.ids) == [1, 2]
+    bad = spark.createDataFrame([(None, 5)], "id int, n int")
+    with pytest.raises(Exception, match="NULL id"):
+        pack_sequences(bad, "id", "n", capacity=16, n_shards=2).collect()
+
+    r = redact_pii(
+        spark.createDataFrame([(1, "a-555 123-4567@x.co and 1 222-3334 left")],
+                              "id int, text string"),
+        "id", "text",
+    ).collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 1  # only the standalone phone
+    # '123-4567@x.co' is the email match; the '555 123-4567' phone-shaped
+    # substring no longer exists once <EMAIL> replaces it — count agrees
+    assert r.redacted == "a-555 <EMAIL> and <PHONE> left"
