@@ -207,3 +207,38 @@ SELECT yr, nation_rev, total_rev,
        CAST(FLOOR(nation_rev / total_rev * 1000000.0 + 0.5) AS BIGINT) AS share_e6
 FROM a
 """)
+
+
+def test_quantize_duckdb_oracle(spark):
+    """int8 quantization checked cross-engine: DuckDB mirrors the exact
+    scale and FLOOR(ABS(q)+0.5)*SIGN(q) half-away rounding over the same
+    embeddings — every quantized byte and every scale (e12-scaled) must
+    hash-match, the same bar the driver queries meet."""
+    from metadatadocumentparser_spark.operators.quantize import quantize_embeddings
+
+    e = load_table(spark, SF, "embeddings")
+    q = quantize_embeddings(e, "vec_id", "embedding").select(
+        "id",
+        F.floor(F.col("scale") * 1e12 + 0.5).cast("bigint").alias("scale_e12"),
+        F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))).alias("qstr"),
+    )
+    _check(spark, q, """
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (
+  SELECT id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 0.0 END AS scale
+  FROM v)
+SELECT id,
+       CAST(FLOOR(scale * 1e12 + 0.5) AS BIGINT) AS scale_e12,
+       array_to_string(list_transform(v, x -> CAST(CAST(
+         greatest(-127, least(127,
+           CASE WHEN scale > 0
+                THEN FLOOR(abs(x / scale) + 0.5) * CASE WHEN x < 0 THEN -1 ELSE 1 END
+                ELSE 0 END)) AS BIGINT) AS VARCHAR)), ',') AS qstr
+FROM s
+""")
