@@ -1,0 +1,69 @@
+"""Paragraph-level dedup — drop repeated paragraphs ACROSS the corpus,
+keeping each distinct paragraph's globally first occurrence (the C4-style
+span-dedup step: boilerplate sentences repeated across thousands of pages
+are removed everywhere but their first site, while each document keeps its
+unique content).
+
+Plan shape: posexplode(split) → one hash-groupBy to elect the keeper
+occurrence per paragraph hash (min (doc, pos) — deterministic, order-free)
+→ broadcast-free equi-join back on the hash → per-doc ordered reassembly
+(array_sort over collected (pos, para) structs — sort happens array-side,
+not by shuffle order). Two key shuffles total (hash, doc), both linear.
+
+Empty paragraphs (consecutive separators) are kept verbatim — they carry
+formatting, not content, and deduping them would silently glue paragraphs
+together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """(id, text_dedup, n_paras, n_kept): text with every paragraph that
+    already appeared earlier in the corpus (at a smaller (doc, pos))
+    removed; counts expose how much was dropped."""
+    p = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    p = p.withColumn("h", F.md5("para"))
+    keeper = (
+        p.where(F.col("para") != "")
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("k"))
+    )
+    kept = (
+        p.join(keeper, "h", "left")
+        .where(
+            (F.col("para") == "")
+            | ((F.col("id") == F.col("k.id")) & (F.col("pos") == F.col("k.pos")))
+        )
+        .select("id", "pos", "para")
+    )
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    # left join from the full doc list: a document whose EVERY paragraph
+    # was a duplicate survives as an empty text, it does not vanish
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep)).cast("bigint").alias("n_paras"),
+    )
+    return base.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        "n_paras",
+        F.coalesce(F.col("n_kept").cast("bigint"), F.lit(0)).alias("n_kept"),
+    )

@@ -242,3 +242,55 @@ SELECT id,
                 ELSE 0 END)) AS BIGINT) AS VARCHAR)), ',') AS qstr
 FROM s
 """)
+
+
+def test_paragraph_dedup_duckdb_oracle(spark):
+    """C4-style paragraph dedup checked cross-engine: a derived corpus
+    where every doc shares a header/footer paragraph (plus rotating shared
+    lines) — the deduped text bytes (md5), paragraph counts and keeper
+    election must match an independent DuckDB implementation."""
+    from metadatadocumentparser_spark.operators.paradedup import paragraph_dedup
+
+    d = load_table(spark, SF, "documents")
+    derived = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("SHARED HEADER\n"),
+            F.substring("text", 1, 60),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("share-"), (F.col("doc_id") % 7).cast("string")))
+            .otherwise(F.substring("text", 61, 40)),
+            F.lit("\nSHARED FOOTER"),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(derived, "doc_id", "text", sep="\n").select(
+        "id", F.md5("text_dedup").alias("dedup_md5"), "n_paras", "n_kept"
+    )
+    _check(spark, out, """
+WITH derived AS (
+  SELECT doc_id AS id,
+         'SHARED HEADER' || chr(10) || substr(text, 1, 60) || chr(10)
+         || CASE WHEN doc_id % 5 = 0 THEN 'share-' || (doc_id % 7)
+                 ELSE substr(text, 61, 40) END
+         || chr(10) || 'SHARED FOOTER' AS text
+  FROM documents),
+t AS (SELECT id, string_split(text, chr(10)) AS ps FROM derived),
+p AS (SELECT id, ps, unnest(range(1, len(ps) + 1)) AS pos1 FROM t),
+pp AS (SELECT id, pos1 - 1 AS pos, ps[pos1] AS para FROM p),
+rn AS (
+  SELECT id, pos, para,
+         CASE WHEN para = '' THEN 1
+              ELSE ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY id, pos)
+         END AS rk
+  FROM pp),
+kept AS (SELECT id, pos, para FROM rn WHERE para = '' OR rk = 1),
+agg AS (
+  SELECT id, md5(string_agg(para, chr(10) ORDER BY pos)) AS dedup_md5,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY id)
+SELECT t2.id, COALESCE(agg.dedup_md5, md5('')) AS dedup_md5,
+       CAST(len(t2.ps) AS BIGINT) AS n_paras,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+FROM t t2 LEFT JOIN agg ON t2.id = agg.id
+""")

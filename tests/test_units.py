@@ -529,3 +529,23 @@ def test_review_hardening_r3(spark):
     # '123-4567@x.co' is the email match; the '555 123-4567' phone-shaped
     # substring no longer exists once <EMAIL> replaces it — count agrees
     assert r.redacted == "a-555 <EMAIL> and <PHONE> left"
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Keeper = globally first (doc, pos) occurrence; later repeats drop;
+    empty paragraphs survive verbatim; a fully-duplicated doc becomes an
+    empty text but never vanishes."""
+    from metadatadocumentparser_spark.operators.paradedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared one\n\nbeta"),
+            (2, "shared one\ngamma\nshared one"),
+            (3, "alpha\nshared one"),  # fully duplicated vs doc 1
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r for r in paragraph_dedup(docs, "id", "text").collect()}
+    assert got[1].text_dedup == "alpha\nshared one\n\nbeta" and got[1].n_kept == 4
+    assert got[2].text_dedup == "gamma" and got[2].n_kept == 1
+    assert got[3].text_dedup == "" and got[3].n_kept == 0 and got[3].n_paras == 2
