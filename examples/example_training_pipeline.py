@@ -45,6 +45,18 @@ def main():
     gated = docs.join(keep, "doc_id")
     print(f"quality gate: {docs.count()} -> {gated.count()} docs")
 
+    # 1b. paragraph-level dedup (C4-style): drop spans repeated across the
+    #     corpus before whole-doc dedup (the synthetic docs are single-line,
+    #     so each is one '\n'-paragraph and nothing drops here; real corpora
+    #     have multi-paragraph docs with shared boilerplate)
+    from metadatadocumentparser_spark.operators.paradedup import paragraph_dedup
+
+    pd_stats = paragraph_dedup(gated, "doc_id", "text")
+    n_dropped = pd_stats.agg(
+        F.sum(F.col("n_paras") - F.col("n_kept"))
+    ).collect()[0][0]
+    print(f"paragraph dedup would drop {n_dropped or 0} repeated paragraphs")
+
     # 2. exact dedup: keep one doc per normalized-content hash
     groups = dedup.exact_dedup_groups(gated, "doc_id", "text")
     keepers = groups.select(F.col("keeper").alias("doc_id"))
