@@ -21,10 +21,6 @@ LANG_MARKERS = {
 }
 
 
-def words_col(text: Column) -> Column:
-    return F.split(text, " ")
-
-
 def token_count(text: Column) -> Column:
     """Whitespace token count (BPE-ish regex variant: see bpe_token_count)."""
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
@@ -44,18 +40,28 @@ def punct_count(text: Column) -> Column:
 
 
 def stopword_count(text: Column, stopwords=STOPWORDS_EN) -> Column:
-    lst = ", ".join(f"'{w}'" for w in stopwords)
-    return F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({lst}))"))
+    # operates on the PASSED column (an earlier F.expr form hardcoded the
+    # literal name 'text' and silently counted the wrong column)
+    sw = list(stopwords)
+    return F.size(F.filter(F.split(text, " "), lambda x: x.isin(*sw)))
+
+
+def _word_count(words: Column, marker: str) -> Column:
+    # factory, not a default-arg lambda (PySpark infers HOF arity from the
+    # python lambda's parameter count)
+    return F.size(F.filter(words, lambda x: x == marker))
 
 
 def marker_count(text: Column, markers) -> Column:
-    """Occurrences of ' word ' markers via length-minus-replace (exactly
-    reproducible in SQL: (length(t)-length(replace(t,m,'')))/length(m))."""
-    t = F.concat(F.lit(" "), text, F.lit(" "))
+    """Word-exact marker occurrences: count tokens equal to each marker.
+    (The earlier length-minus-replace over ' word ' undercounted ADJACENT
+    repeats — consecutive markers share one space, so 'der der der'
+    counted 2 — skewing lang-ID's marker competition. list_filter /
+    filter-equality is exactly reproducible in DuckDB and overlap-free.)"""
+    words = F.split(text, " ")
     total = F.lit(0)
     for m in markers:
-        pat = f" {m} "
-        total = total + (F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit("")))) / len(pat)
+        total = total + _word_count(words, m)
     return total.cast("bigint")
 
 

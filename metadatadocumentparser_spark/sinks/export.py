@@ -119,19 +119,40 @@ def canonical_struct(outs: dict) -> DataFrame:
 
 
 def export_json(doc_struct: DataFrame) -> DataFrame:
-    """K2: conv_id, turn_idx, json string per turn (native to_json)."""
-    return doc_struct.select(*_KEY, F.to_json("document").alias("json"))
+    """K2: conv_id, turn_idx, json string per turn (native to_json).
+
+    ignoreNullFields=false: the K1 struct schema IS the golden-fixture
+    schema — a null title/author (meta_error turns) or null column_layout
+    must serialize as "key": null like the reference's json.dumps, not
+    silently disappear (to_json's default drops null fields, which also
+    destabilizes TOON tabularity because rows stop sharing a key list)."""
+    return doc_struct.select(
+        *_KEY,
+        F.to_json("document", {"ignoreNullFields": "false"}).alias("json"),
+    )
 
 
 # ---------------------------------------------------------------- TOON (K3)
-def _toon_scalar(v):
+def _toon_scalar(v, delimiter: str = ","):
+    import math
+
     if v is None:
         return "null"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
-        return str(v)
-    return str(v)
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return "null"  # JSON-compatible posture for non-finite floats
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 1.0 -> '1', matching the toon_format package
+    s = str(v)
+    # quote strings that would corrupt the row structure (cell delimiter,
+    # newline, quote, or a leading/trailing space); escape inner quotes
+    if isinstance(v, str) and (
+        delimiter in s or "\n" in s or '"' in s or s != s.strip() or s == ""
+    ):
+        return '"' + s.replace('"', '\\"').replace("\n", "\\n") + '"'
+    return s
 
 
 def _is_tabular(lst):
@@ -167,17 +188,17 @@ def toon_encode(data, indent: int = 2, delimiter: str = ",", length_marker: str 
                 out.append(f"{pad}{key}{n}{{{','.join(fields)}}}:")
                 rpad = " " * (indent * (depth + 1))
                 for row in val:
-                    out.append(rpad + delimiter.join(_toon_scalar(row[f]) for f in fields))
+                    out.append(rpad + delimiter.join(_toon_scalar(row[f], delimiter) for f in fields))
             elif all(not isinstance(x, (dict, list)) for x in val):
                 out.append(
-                    f"{pad}{key}{n}: " + delimiter.join(_toon_scalar(x) for x in val)
+                    f"{pad}{key}{n}: " + delimiter.join(_toon_scalar(x, delimiter) for x in val)
                 )
             else:
                 out.append(f"{pad}{key}{n}:")
                 for i, x in enumerate(val):
                     emit(f"- {i}", x, depth + 1)
         else:
-            out.append(f"{pad}{key}: {_toon_scalar(val)}")
+            out.append(f"{pad}{key}: {_toon_scalar(val, delimiter)}")
 
     for k, v in data.items():
         emit(k, v, 0)
@@ -260,11 +281,22 @@ def save_images(images_with_bytes: DataFrame, output_dir: str) -> int:
     os.makedirs(output_dir, exist_ok=True)
     written = images_with_bytes.sparkSession.sparkContext.accumulator(0)
 
+    import re as _re
+
+    def _safe(part) -> str:
+        # data-derived name components must not traverse paths: a conv_id
+        # containing '/' or '..' would otherwise fail the task (missing
+        # subdir) or write OUTSIDE output_dir
+        return _re.sub(r"[^A-Za-z0-9._-]", "_", str(part)).lstrip(".") or "_"
+
     def write_part(rows):
         for r in rows:
             if r.image_bytes is None:
                 continue
-            name = f"image_{r.conv_id}_{r.turn_idx}_{r.page_num}_{r.image_index}.{r.ext}"
+            name = (
+                f"image_{_safe(r.conv_id)}_{r.turn_idx}_{r.page_num}"
+                f"_{r.image_index}.{_safe(r.ext)}"
+            )
             with open(os.path.join(output_dir, name), "wb") as f:
                 f.write(bytes(r.image_bytes))
             written.add(1)

@@ -150,41 +150,48 @@ def pdf_bytes_to_payload(data: bytes) -> DocPayload:
             "Dict-shaped ingestion (fitz_shaped_to_payload) works without."
         )
     doc = fitz.open(stream=data, filetype="pdf")
-    pages = []
-    for page in doc:
-        images = []
-        for idx, info in enumerate(page.get_images()):
-            xref = info[0]
-            rects = page.get_image_rects(xref)
-            base = doc.extract_image(xref)
-            images.append(
+    try:  # finally-close: per-page failures must not leak native MuPDF handles
+        pages = []
+        for page in doc:
+            images = []
+            for idx, info in enumerate(page.get_images()):
+                xref = info[0]
+                rects = page.get_image_rects(xref)
+                base = doc.extract_image(xref)
+                images.append(
+                    {
+                        "bbox": tuple(rects[0]) if rects else (0, 0, 0, 0),
+                        "width": base["width"],
+                        "height": base["height"],
+                        "colorspace": base.get("colorspace"),
+                        "ext": base["ext"],
+                        "image": base.get("image"),
+                    }
+                )
+            drawings = [tuple(p["rect"]) for p in page.get_drawings()]
+            pages.append(
                 {
-                    "bbox": tuple(rects[0]) if rects else (0, 0, 0, 0),
-                    "width": base["width"],
-                    "height": base["height"],
-                    "colorspace": base.get("colorspace"),
-                    "ext": base["ext"],
-                    "image": base.get("image"),
+                    "width": page.rect.width,
+                    "height": page.rect.height,
+                    "dict": page.get_text("dict"),
+                    "drawings": drawings,
+                    "images": images,
                 }
             )
-        drawings = [tuple(p["rect"]) for p in page.get_drawings()]
-        pages.append(
-            {
-                "width": page.rect.width,
-                "height": page.rect.height,
-                "dict": page.get_text("dict"),
-                "drawings": drawings,
-                "images": images,
-            }
-        )
-    try:
-        metadata = doc.metadata
-        payload = fitz_shaped_to_payload(pages, metadata)
-    except Exception:
-        payload = fitz_shaped_to_payload(pages, None)
-        payload.meta_error = True
-    doc.close()
-    return payload
+        # only the METADATA read swallows into meta_error (parser.py:148-150
+        # scope) — an assembly failure is a real defect and must propagate
+        try:
+            metadata = doc.metadata
+        except Exception:
+            metadata = None
+        if metadata is None:
+            payload = fitz_shaped_to_payload(pages, None)
+            payload.meta_error = True
+        else:
+            payload = fitz_shaped_to_payload(pages, metadata)
+        return payload
+    finally:
+        doc.close()
 
 
 def parse_pdf_bytes(data: bytes, **parse_kwargs):

@@ -24,6 +24,11 @@ _CSV_OPTS = {
     # JSON props / free text contain commas and quotes: standard quoting
     "quote": '"',
     "escape": '"',
+    # free text contains NEWLINES: without multiLine the reader splits a
+    # quoted multi-line value into broken rows (writer quotes it fine, the
+    # default reader does not honor it). Cost at scale: multiLine CSV files
+    # are not split-parallel — one more reason columnar is the scale path.
+    "multiLine": "true",
     **_TS_OPTS,
 }
 

@@ -191,3 +191,44 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     got = {r.doc_id for r in part.collect()}
     want = {r.doc_id for r in d.where(F.col("lang") == "en").collect()}
     assert got == want and got
+
+
+def test_csv_roundtrip_embedded_newlines(spark, tmp_path):
+    """Review finding (r3): without multiLine the CSV reader split a quoted
+    multi-line value into broken rows. Free text with newlines must
+    round-trip byte-identically."""
+    from metadatadocumentparser_spark.sources.formats import read_table_as, write_table
+
+    df = spark.createDataFrame(
+        [(1, "line1\nline2"), (2, 'has "quotes", commas\nand a second line')],
+        "id int, text string",
+    )
+    path = str(tmp_path / "nlcsv")
+    write_table(df, path, "csv")
+    got = sorted(map(tuple, read_table_as(spark, path, "csv", df.schema).collect()))
+    assert got == sorted(map(tuple, df.collect()))
+
+
+def test_toon_fallback_quoting_and_json_nulls(spark):
+    """Fallback TOON encoder quotes delimiter/newline/quote-bearing strings
+    (structure stays parseable: each tabular row has exactly the declared
+    cell count) and normalizes integral floats like the real package;
+    export_json keeps null fields (K1 schema stability)."""
+    from metadatadocumentparser_spark.sinks.export import _toon_scalar, toon_encode
+
+    s = toon_encode({"xs": [{"a": "hello, world", "b": 1.0},
+                            {"a": "line1\nline2", "b": float("nan")}]})
+    lines = s.splitlines()
+    assert lines[0] == "xs[#2]{a,b}:"
+    # each row must contain exactly ONE unquoted delimiter (2 cells)
+    assert lines[1].strip() == '"hello, world",1'
+    assert lines[2].strip() == '"line1\\nline2",null'
+    assert _toon_scalar(2.0) == "2" and _toon_scalar(2.5) == "2.5"
+
+    outs = extract_all(_df(spark))
+    j = export_json(canonical_struct(outs)).limit(50).collect()
+    # meta_error / HTML turns carry null title or column_layout — the keys
+    # must still be present in the JSON (ignoreNullFields=false)
+    docs = [json.loads(r.json) for r in j]
+    assert all("column_layout" in d for d in docs)
+    assert all("title" in d["metadata"] for d in docs)
