@@ -73,14 +73,27 @@ def pack_sequences(
         .cast("bigint"),
         F.lit(n_shards),
     ).cast("int")
-    # a NULL id has no identity to pack under — fail loudly (a silent drop
-    # or a NaN shard key would either lose rows or crash the pandas kernel
-    # with an opaque dtype error); a NULL size packs as 0 tokens (an
-    # unmeasured doc occupies no capacity — documented contract)
-    null_id_guard = F.when(
-        F.col(id_col).isNull(),
-        F.raise_error(F.lit("pack_sequences: NULL id cannot be packed")),
-    ).otherwise(F.col(id_col).cast("bigint"))
+    # a NULL or non-integral id has no identity to pack under — fail loudly
+    # (a silent drop or a NaN shard key would either lose rows or crash the
+    # pandas kernel with an opaque dtype error). try_cast keeps the check
+    # ANSI-independent: a plain cast would throw CAST_INVALID_INPUT before
+    # this guard ever ran (ANSI on) or yield NULLs that crash _ffd's sort
+    # (ANSI off). A NULL size packs as 0 tokens (an unmeasured doc occupies
+    # no capacity — documented contract).
+    cast_id = F.col(id_col).try_cast("bigint")
+    null_id_guard = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit("pack_sequences: NULL id cannot be packed")),
+        )
+        .when(
+            cast_id.isNull(),
+            F.raise_error(
+                F.lit("pack_sequences: non-integral id cannot be packed")
+            ),
+        )
+        .otherwise(cast_id)
+    )
     src = df.select(
         shard.alias("shard"),
         null_id_guard.alias("id"),

@@ -21,15 +21,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _java_regex_quote(s: str) -> str:
+    """Java Pattern.quote: wrap in \\Q...\\E, splicing any embedded \\E.
+    F.split interprets its separator as a Java regex while array_join uses
+    it literally — quoting keeps the two in agreement for metachar seps
+    ('|', '.', ...), which would otherwise split per-character."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def paragraph_dedup(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
 ) -> DataFrame:
     """(id, text_dedup, n_paras, n_kept): text with every paragraph that
     already appeared earlier in the corpus (at a smaller (doc, pos))
-    removed; counts expose how much was dropped."""
+    removed; counts expose how much was dropped. ``sep`` is a literal
+    string (regex metachars are quoted before the split)."""
+    sep_re = _java_regex_quote(sep)
     p = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "para"),
     )
     p = p.withColumn("h", F.md5("para"))
     keeper = (
@@ -59,7 +69,7 @@ def paragraph_dedup(
     # was a duplicate survives as an empty text, it does not vanish
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), sep)).cast("bigint").alias("n_paras"),
+        F.size(F.split(F.col(text_col), sep_re)).cast("bigint").alias("n_paras"),
     )
     return base.join(agg, "id", "left").select(
         "id",

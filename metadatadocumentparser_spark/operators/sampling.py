@@ -19,8 +19,13 @@ from pyspark.sql import functions as F
 
 
 def sample_uniform(id_col: Column, salt: str = "sample") -> Column:
-    """u ∈ [0, 1) as a deterministic function of the id (md5-derived)."""
-    return (
+    """u ∈ [0, 1) as a deterministic function of the id (md5-derived).
+
+    NULL ids raise: concat_ws skips NULLs, so every NULL-id row would hash
+    to the same u(salt) and the whole NULL-id population would be kept or
+    dropped en bloc per stratum (or assigned to one split) — a silent skew.
+    Matches pack_sequences' fail-loud posture for identity-less rows."""
+    u = (
         F.conv(
             F.substring(F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8),
             16,
@@ -28,6 +33,12 @@ def sample_uniform(id_col: Column, salt: str = "sample") -> Column:
         ).cast("double")
         / float(1 << 32)
     )
+    return F.when(
+        id_col.isNull(),
+        F.raise_error(
+            F.lit("sample_uniform: NULL id has no deterministic hash")
+        ).cast("double"),
+    ).otherwise(u)
 
 
 def stratified_sample(

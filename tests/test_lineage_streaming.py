@@ -62,7 +62,7 @@ def test_streaming_matches_batch(spark, tmp_path):
     _write_corpus(spark, corpus)
 
     q = extract_stream(spark, corpus, out, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish within 120s"
 
     got = spark.read.parquet(os.path.join(out, "turns"))
     direct = turns_of(parse_transcripts(spark.read.parquet(corpus)))
@@ -70,7 +70,7 @@ def test_streaming_matches_batch(spark, tmp_path):
 
     # restart with no new files → no duplicates (checkpoint exactly-once)
     q2 = extract_stream(spark, corpus, out, ckpt, available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query did not finish within 120s"
     assert spark.read.parquet(os.path.join(out, "turns")).count() == direct.count()
 
 
@@ -111,7 +111,7 @@ def test_windowed_watermark_stream(spark, tmp_path):
     spark.read.parquet(src).repartition(3).write.mode("overwrite").parquet(indir)
 
     q = windowed_event_counts(spark, indir, out, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query did not finish within 180s"
 
     got = spark.read.parquet(out)
     batch = (
@@ -176,7 +176,7 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     spark.read.parquet(src).repartition(3).write.mode("overwrite").parquet(indir)
 
     q = stateful_sessionize_stream(spark, indir, out, ckpt)
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "streaming query did not finish within 240s"
 
     got = {
         (r.user_id, r.session_id): (r.n_events, r.start_ep, r.duration_s)
@@ -216,7 +216,7 @@ def test_streaming_exact_dedup(spark, tmp_path):
     dup.repartition(4).write.mode("overwrite").parquet(indir)
 
     q = streaming_exact_dedup(spark, indir, out, ckpt)
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "streaming query did not finish within 240s"
 
     got = spark.read.parquet(out)
     batch_fps = {r.h for r in docs.select(fingerprint("text").alias("h")).collect()}
@@ -244,7 +244,7 @@ def test_streaming_near_dup_equals_batch(spark, tmp_path):
     base.repartition(3).write.mode("overwrite").parquet(indir)
 
     q = streaming_near_dup(spark, indir, out, ckpt, idx)
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "streaming query did not finish within 240s"
 
     got = {
         (r.id_a, r.id_b)

@@ -549,3 +549,34 @@ def test_paragraph_dedup_semantics(spark):
     assert got[1].text_dedup == "alpha\nshared one\n\nbeta" and got[1].n_kept == 4
     assert got[2].text_dedup == "gamma" and got[2].n_kept == 1
     assert got[3].text_dedup == "" and got[3].n_kept == 0 and got[3].n_paras == 2
+
+
+def test_review_hardening_r4(spark):
+    """Round-4 ADVICE fixes: paragraph_dedup treats a regex-metachar sep
+    as a literal (split and array_join agree), pack_sequences rejects a
+    non-integral id with its own message under any ANSI setting, and
+    sample_uniform raises on NULL ids instead of silently hashing the
+    whole NULL population to one keep/drop decision."""
+    import pytest
+    from metadatadocumentparser_spark.operators.packing import pack_sequences
+    from metadatadocumentparser_spark.operators.paradedup import paragraph_dedup
+    from metadatadocumentparser_spark.operators.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|shared|beta"), (2, "shared|gamma")], "id int, text string"
+    )
+    got = {r.id: r for r in paragraph_dedup(docs, "id", "text", sep="|").collect()}
+    # '|' as a raw regex splits per character; quoted it splits on the pipe
+    assert got[1].text_dedup == "alpha|shared|beta" and got[1].n_paras == 3
+    assert got[2].text_dedup == "gamma" and got[2].n_kept == 1
+
+    bad = spark.createDataFrame([("doc-7", 5)], "id string, n int")
+    with pytest.raises(Exception, match="non-integral id"):
+        pack_sequences(bad, "id", "n", capacity=16, n_shards=2).collect()
+    ok = spark.createDataFrame([("41", 5), ("42", 6)], "id string, n int")
+    packs = pack_sequences(ok, "id", "n", capacity=16, n_shards=2).collect()
+    assert sorted(i for p in packs for i in p.ids) == [41, 42]
+
+    nulls = spark.createDataFrame([(None, "en")], "id int, lang string")
+    with pytest.raises(Exception, match="NULL id"):
+        stratified_sample(nulls, "lang", "id", {"en": 1.0}).collect()
