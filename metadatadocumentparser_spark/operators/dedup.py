@@ -23,13 +23,21 @@ from pyspark.sql import functions as F
 
 from ..functions.textstats import fingerprint
 
+# Oracle-checked defaults. At web scale, tune (num_hashes, bands) per the
+# banding collision curve P[candidate] = 1-(1-j^r)^b with r = num_hashes /
+# bands: the default 2-row bands admit ~31% of j=0.3 NON-duplicate pairs as
+# candidates — fine for a driver-checkable corpus, a candidate-pair
+# explosion at 100 TB. 64 hashes / 8 bands (r=8) admits ~0.05% at j=0.3
+# while still catching ~98% at j=0.8 (see test_minhash_banding_precision).
 SHINGLE_K = 3
 NUM_HASHES = 8
 BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
 MAX_SHINGLE_DF = 50
 
 
-def with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
+) -> DataFrame:
     """id, shingle (distinct word-k-grams). Mirrors the DuckDB oracle:
     words = split(text,' '); shingle i = words[i..i+k-1] joined by ' '."""
     from ._util import ensure_min_parallelism
@@ -38,7 +46,7 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # parquet file < maxPartitionBytes → one scan task) would run the whole
     # explode+hash map side on ONE core (see _util.ensure_min_parallelism).
     df = ensure_min_parallelism(df)
-    # Guarded: for docs with < SHINGLE_K tokens, sequence(1, n-k+1) would
+    # Guarded: for docs with < k tokens, sequence(1, n-k+1) would
     # DESCEND to [1, 0] and slice(..., 0, k) throws (ANSI). Short docs have
     # no k-shingles by definition — they produce zero rows here (correct:
     # they cannot share a k-shingle with anything).
@@ -47,9 +55,9 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"CASE WHEN size(split({text_col}, ' ')) >= {SHINGLE_K} THEN"
-                    f" transform(sequence(1, size(split({text_col}, ' ')) - {SHINGLE_K - 1}),"
-                    f" i -> array_join(slice(split({text_col}, ' '), i, {SHINGLE_K}), ' '))"
+                    f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN"
+                    f" transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+                    f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
                     f" ELSE array() END"
                 )
             )
@@ -109,39 +117,70 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """id + h0..h{NUM_HASHES-1}: per-permutation minima of md5('<i>:'+shingle).
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    shingle_k: int = SHINGLE_K,
+) -> DataFrame:
+    """id + h0..h{num_hashes-1}: per-permutation minima of md5('<i>:'+shingle).
     md5-hex minima are plain lexicographic string minima — portable."""
-    sh = with_shingles(df, id_col, text_col)
+    sh = with_shingles(df, id_col, text_col, k=shingle_k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(NUM_HASHES)
+        for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_k: int = SHINGLE_K,
+) -> DataFrame:
     """(id, band, bkey) LSH band rows — the joinable index form of the
     MinHash signatures (used by minhash_lsh_pairs and the streaming
-    incremental near-dup index)."""
-    sig = minhash_signatures(df, id_col, text_col)
-    r = NUM_HASHES // BANDS
+    incremental near-dup index). rows-per-band r = num_hashes // bands
+    sets the precision knob: P[candidate] = 1-(1-j^r)^bands."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"minhash_band_rows: num_hashes ({num_hashes}) must be a "
+            f"multiple of bands ({bands}) — bands are contiguous "
+            f"equal-width slices of the signature"
+        )
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    r = num_hashes // bands
     band_rows = []
-    for b in range(BANDS):
+    for b in range(bands):
         key = F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]))
         band_rows.append(sig.select("id", F.lit(b).alias("band"), key.alias("bkey")))
-    bands = band_rows[0]
+    out = band_rows[0]
     for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
-    return bands
+        out = out.unionByName(extra)
+    return out
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_k: int = SHINGLE_K,
+) -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band bucket."""
-    bands = minhash_band_rows(df, id_col, text_col)
+    band_df = minhash_band_rows(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
     return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bkey"])
+        band_df.alias("a")
+        .join(band_df.alias("b"), ["band", "bkey"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -279,11 +318,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.localCheckpoint(eager=True)
 
 
-def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_k: int = SHINGLE_K,
+) -> DataFrame:
     """MinHash-LSH candidates → connected components → (id, label) where
     label = cluster keeper (minimum id). Only ids that appear in at least
     one candidate pair are returned (everything else is its own keeper)."""
-    return connected_components(minhash_lsh_pairs(df, id_col, text_col))
+    return connected_components(
+        minhash_lsh_pairs(
+            df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        )
+    )
 
 
 def near_pairs_from_fingerprints(

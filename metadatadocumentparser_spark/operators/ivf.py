@@ -48,6 +48,14 @@ def _assign_kernel(cents: np.ndarray, n_probe: int):
     return kernel
 
 
+# ceiling on n_list: the centroid seed collects n_list*50 vectors to the
+# driver (a 64-dim float64 vector ≈ 0.5 KB ⇒ 8192*50 ≈ 200 MB, the most a
+# driver collect should ever hold). More lists than this need a distributed
+# coarse quantizer (k-means via Pandas-UDF Lloyd rounds), not a bigger
+# collect — fail loudly instead of OOMing the driver.
+MAX_N_LIST = 8192
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -59,6 +67,14 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """Same output shape as similarity.cosine_topk (qid, rank, nid, cosine);
     recall < 1 by design (candidates limited to probed lists)."""
+    if n_list > MAX_N_LIST:
+        # same fail-loud pattern as similarity's exact-near-dup cap
+        raise ValueError(
+            f"ivf_cosine_topk: n_list={n_list} exceeds MAX_N_LIST="
+            f"{MAX_N_LIST}: the coarse-quantizer seed collects n_list*50 "
+            f"vectors to the driver; beyond this train centroids "
+            f"distributed (sampled k-means) instead of raising the cap"
+        )
     spark = emb.sparkSession
     # deterministic centroid sample: every (count/n_list)-th vector by id
     sample = (

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..synth import TRANSCRIPT_DDL
@@ -133,6 +133,9 @@ def streaming_near_dup(
     checkpoint_dir: str,
     index_dir: str,
     available_now: bool = True,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_k: int | None = None,
 ):
     """Streaming INCREMENTAL near-dup detection — the online analogue of
     operators/dedup.minhash_lsh_pairs: every microbatch of documents is
@@ -146,14 +149,23 @@ def streaming_near_dup(
     the index join of the LATER batch).
 
     State model: the index is a plain parquet table of (id, band, bkey) —
-    4 tiny rows per document, queryable/compactable/partitionable like any
-    table (no opaque state store), which is what an unbounded corpus
-    needs; bound it by retention-pruning old ids if the dedup horizon is
-    finite. foreachBatch may re-run a batch on failure, so both the index
-    and the pair output are written idempotently-readable (consumers take
-    DISTINCT; the test does).
+    ``bands`` tiny rows per document, queryable/compactable/partitionable
+    like any table (no opaque state store), which is what an unbounded
+    corpus needs; bound it by retention-pruning old ids with
+    ``prune_band_index`` when the dedup horizon is finite. foreachBatch may
+    re-run a batch on failure, so both the index and the pair output are
+    written idempotently-readable (consumers take DISTINCT; the test does).
+
+    (num_hashes, bands, shingle_k) tune the banding collision curve
+    exactly as in operators/dedup.py (None → the oracle-checked module
+    defaults); at production scale use more rows per band — see the
+    precision note at dedup.py's constants.
     """
-    from ..operators.dedup import minhash_band_rows
+    from ..operators import dedup as _dedup
+
+    nh = _dedup.NUM_HASHES if num_hashes is None else num_hashes
+    nb = _dedup.BANDS if bands is None else bands
+    sk = _dedup.SHINGLE_K if shingle_k is None else shingle_k
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string, ts timestamp")
@@ -162,9 +174,9 @@ def streaming_near_dup(
     )
 
     def process(batch_df, batch_id: int):
-        bands = minhash_band_rows(batch_df, "doc_id", "text").localCheckpoint(
-            eager=True
-        )
+        bands = _dedup.minhash_band_rows(
+            batch_df, "doc_id", "text", num_hashes=nh, bands=nb, shingle_k=sk
+        ).localCheckpoint(eager=True)
         intra = (
             bands.alias("a")
             .join(bands.alias("b"), ["band", "bkey"])
@@ -204,3 +216,41 @@ def streaming_near_dup(
     if available_now:
         return writer.trigger(availableNow=True).start()
     return writer.start()
+
+
+def prune_band_index(
+    spark: SparkSession,
+    index_dir: str,
+    keep_ids=None,
+    drop_ids=None,
+) -> int:
+    """Retention-prune the streaming near-dup band index: keep only the
+    band rows of ``keep_ids`` (or everything EXCEPT ``drop_ids``) —
+    exactly one of the two must be given, each a list of ids or a
+    single-column DataFrame of ids. Returns the number of band rows kept.
+
+    Pruned ids stop producing cross-batch candidate pairs from the next
+    microbatch on (the finite-dedup-horizon knob the index's state model
+    promises); already-emitted pairs are history and are not rewritten.
+
+    The filtered index is materialized (localCheckpoint) BEFORE the
+    overwrite — parquet cannot be read and overwritten in one plan. The
+    index is `bands` rows per doc (~40 bytes each), orders of magnitude
+    smaller than the corpus, so the materialization is cheap even when
+    the corpus is not; a retention pass per compaction window, not per
+    batch, is the intended cadence."""
+    if (keep_ids is None) == (drop_ids is None):
+        raise ValueError(
+            "prune_band_index: pass exactly one of keep_ids / drop_ids"
+        )
+    ids = keep_ids if keep_ids is not None else drop_ids
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias("id"))
+    idx = spark.read.parquet(index_dir)
+    how = "left_semi" if keep_ids is not None else "left_anti"
+    kept = idx.join(ids, "id", how).localCheckpoint(eager=True)
+    n = kept.count()
+    kept.write.mode("overwrite").parquet(index_dir)
+    return n

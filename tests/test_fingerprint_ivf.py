@@ -114,3 +114,15 @@ def test_quantized_ann_rank_agreement(spark):
     quant = {(r.qid, r.nid) for r in cosine_topk(deq, deq_q, k=10).collect()}
     recall = len(true & quant) / len(true)
     assert recall >= 0.9, recall
+
+
+def test_ivf_n_list_guard(spark):
+    """n_list beyond the driver-collect ceiling fails loudly with an
+    actionable message (the seed collect is bounded; a 100k-list request
+    must not become a silent driver OOM)."""
+    import pytest
+    from metadatadocumentparser_spark.operators.ivf import MAX_N_LIST, ivf_cosine_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="MAX_N_LIST"):
+        ivf_cosine_topk(emb, emb.limit(1), n_list=MAX_N_LIST + 1)

@@ -260,3 +260,45 @@ def test_streaming_near_dup_equals_batch(spark, tmp_path):
     idx_ids = {r.id for r in spark.read.parquet(idx).select("id").distinct().collect()}
     sig_ids = {r.id for r in dedup.minhash_signatures(docs, "doc_id", "text").select("id").collect()}
     assert idx_ids == sig_ids
+
+
+def test_streaming_near_dup_index_retention(spark, tmp_path):
+    """prune_band_index bounds the near-dup index to a finite dedup
+    horizon: a pruned id must stop producing cross-batch pairs from the
+    next microbatch on, while the kept remainder still matches exactly."""
+    import pytest
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.streaming.stream import (
+        prune_band_index,
+        streaming_near_dup,
+    )
+
+    tx = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ty = "one two three four five six seven eight nine ten eleven"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    ).select("doc_id", "text", F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"))
+    indir, out, ckpt, idx = (str(tmp_path / d) for d in ("rin", "rout", "rckpt", "ridx"))
+
+    # batch 1: docs 1 (text X) and 3 (text Y) — no intra pairs
+    mk([(1, tx), (3, ty)]).coalesce(1).write.mode("append").parquet(indir)
+    q = streaming_near_dup(spark, indir, out, ckpt, idx)
+    assert q.awaitTermination(240), "streaming query did not finish within 240s"
+
+    # retention: forget doc 1; doc 3's band rows survive verbatim
+    kept = prune_band_index(spark, idx, drop_ids=[1])
+    idx_after = spark.read.parquet(idx)
+    assert {r.id for r in idx_after.select("id").distinct().collect()} == {3}
+    assert kept == idx_after.count()
+
+    # batch 2: docs 2 (= text X) and 4 (= text Y): only the kept id may
+    # produce a cross-batch pair
+    mk([(2, tx), (4, ty)]).coalesce(1).write.mode("append").parquet(indir)
+    q2 = streaming_near_dup(spark, indir, out, ckpt, idx)
+    assert q2.awaitTermination(240), "streaming query did not finish within 240s"
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out).distinct().collect()}
+    assert (3, 4) in pairs      # kept id still matches
+    assert (1, 2) not in pairs  # pruned id is forgotten
+
+    with pytest.raises(ValueError, match="exactly one"):
+        prune_band_index(spark, idx)

@@ -580,3 +580,53 @@ def test_review_hardening_r4(spark):
     nulls = spark.createDataFrame([(None, "en")], "id int, lang string")
     with pytest.raises(Exception, match="NULL id"):
         stratified_sample(nulls, "lang", "id", {"en": 1.0}).collect()
+
+
+def test_minhash_banding_precision(spark):
+    """(num_hashes, bands) are the production precision knob: on a planted
+    corpus of 40 disjoint-vocabulary document pairs at shingle-Jaccard
+    ≈ 0.29 (clear NON-duplicates) plus 5 true near-dup pairs (j ≈ 0.91),
+    the oracle-checked default 8 hashes / 4 bands (r=2 ⇒ P[cand|j=.29]
+    = 1-(1-j²)⁴ ≈ 0.30) admits a large false-candidate fraction, while 64
+    hashes / 8 bands (r=8 ⇒ P ≈ 5e-4) must keep every true pair and
+    collapse the false candidates as the collision curve predicts — the
+    difference between a checkable small-scale config and one whose
+    candidate volume survives 100 TB. md5 → fully deterministic."""
+    import pytest
+    from metadatadocumentparser_spark.operators import dedup
+
+    rows = []
+    low_pairs, true_pairs = set(), set()
+    for i in range(40):  # j ≈ 0.29: 32 shared words, 36 unique per side
+        c = [f"p{i}c{j}" for j in range(32)]
+        ta = [f"p{i}a{j}" for j in range(36)]
+        tb = [f"p{i}b{j}" for j in range(36)]
+        rows += [(2 * i, " ".join(c + ta)), (2 * i + 1, " ".join(c + tb))]
+        low_pairs.add((2 * i, 2 * i + 1))
+    for i in range(40, 45):  # j ≈ 0.91: one word of 68 replaced
+        w = [f"p{i}c{j}" for j in range(68)]
+        w2 = list(w)
+        w2[64] = f"p{i}X"
+        rows += [(2 * i, " ".join(w)), (2 * i + 1, " ".join(w2))]
+        true_pairs.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "id bigint, text string")
+
+    def cands(num_hashes, bands):
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                df, "id", "text", num_hashes=num_hashes, bands=bands
+            ).collect()
+        }
+
+    loose = cands(8, 4)
+    tight = cands(64, 8)
+    assert true_pairs <= loose and true_pairs <= tight  # recall holds
+    false_loose = len(loose & low_pairs)
+    false_tight = len(tight & low_pairs)
+    # binomial(40, 0.30) vs binomial(40, 5e-4): deterministic given md5
+    assert 3 <= false_loose <= 25, false_loose
+    assert false_tight <= 2, false_tight
+    assert false_tight < false_loose
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_band_rows(df, "id", "text", num_hashes=8, bands=3)
