@@ -84,6 +84,116 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+GOPHER_TOP_NS = (3, 4)
+GOPHER_DUP_NS = (5, 6, 10)
+
+
+def repetition_ngram_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = GOPHER_TOP_NS,
+    dup_ns: tuple[int, ...] = GOPHER_DUP_NS,
+) -> DataFrame:
+    """The rest of the Gopher §A1.1 repetition suite (repetition_signals
+    covers dup-word + top-bigram): per doc,
+
+    - ``top_{n}gram_e4`` (n in top_ns): fraction of token characters
+      covered by occurrences of the HEAVIEST n-gram — heaviest = max by
+      (count × gram-char-length, gram) so ties break deterministically;
+      coverage is positional (overlapping occurrences count a token once).
+    - ``dup_{n}gram_e4`` (n in dup_ns): fraction of token characters
+      covered by ANY n-gram occurring ≥ 2 times (positional, the published
+      "duplicated n-gram character fraction").
+
+    Char accounting uses token characters only (separators excluded from
+    numerator and denominator) — unambiguous under repeated whitespace and
+    engine-portable. Docs with < n tokens (or 0 chars) score 0 for that n.
+
+    Plan shape: ONE gram explode for all n (array-side concat of per-n
+    occurrence structs) → one (id, n, gram) partial-aggregated count →
+    coverage explode of only the selected occurrences → one (id, pos)
+    token-length join → pivot-free conditional agg back to doc grain.
+    Every shuffle is keyed by (doc, gram) or (doc, position): linear,
+    skew-free (gram cardinality is bounded by doc length)."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+        "d",
+        F.aggregate(
+            "toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ),
+    )
+    tok_lens = base.select(
+        "id", F.posexplode("toks").alias("pos", "tok")
+    ).select("id", "pos", F.length("tok").cast("bigint").alias("toklen"))
+
+    # one occurrence array for every n: struct(n, pos, gram)
+    per_n = [
+        F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN"
+            f" transform(sequence(0, size(toks) - {n}),"
+            f" i -> struct({n} AS n, i AS pos,"
+            f" array_join(slice(toks, i + 1, {n}), ' ') AS g))"
+            f" ELSE array() END"
+        )
+        for n in all_ns
+    ]
+    occ = base.select(
+        "id", F.explode(F.flatten(F.array(*per_n))).alias("o")
+    ).select("id", F.col("o.n").alias("n"), F.col("o.pos").alias("pos"), F.col("o.g").alias("g"))
+    counts = occ.groupBy("id", "n", "g").agg(
+        F.count("*").alias("c"), F.collect_list("pos").alias("ps")
+    )
+
+    # token chars of the gram = len(g) - (n-1) single separators
+    w = (F.col("c") * (F.length("g") - (F.col("n") - 1))).cast("bigint")
+    top_sel = (
+        counts.where(F.col("n").isin(list(top_ns)))
+        .groupBy("id", "n")
+        .agg(F.max(F.struct(w.alias("w"), F.col("g"), F.col("ps"))).alias("t"))
+        .select("id", "n", F.lit("top").alias("tag"), F.col("t.ps").alias("ps"))
+    )
+    dup_sel = counts.where(
+        F.col("n").isin(list(dup_ns)) & (F.col("c") >= 2)
+    ).select("id", "n", F.lit("dup").alias("tag"), "ps")
+
+    covered = (
+        top_sel.unionByName(dup_sel)
+        .select("id", "n", "tag", F.explode("ps").alias("p0"))
+        .select(
+            "id", "n", "tag",
+            F.explode(F.sequence(F.col("p0"), F.col("p0") + F.col("n") - 1)).alias("pos"),
+        )
+        .distinct()
+        .join(tok_lens, ["id", "pos"])
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(
+                    F.when((F.col("n") == n) & (F.col("tag") == "top"), F.col("toklen"))
+                ).alias(f"_top{n}")
+                for n in top_ns
+            ],
+            *[
+                F.sum(
+                    F.when((F.col("n") == n) & (F.col("tag") == "dup"), F.col("toklen"))
+                ).alias(f"_dup{n}")
+                for n in dup_ns
+            ],
+        )
+    )
+    out = base.select("id", "d").join(covered, "id", "left")
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("d") > 0, F.coalesce(F.col(c), F.lit(0)) / F.col("d")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id",
+        *[half_up_scaled(frac(f"_top{n}"), 4).alias(f"top_{n}gram_e4") for n in top_ns],
+        *[half_up_scaled(frac(f"_dup{n}"), 4).alias(f"dup_{n}gram_e4") for n in dup_ns],
+    )
+
+
 def split_column(id_col, weights: dict[str, float] | None = None, salt: str = "split"):
     """Deterministic split as a plain Column (composable into any
     projection): u = int(md5(salt:id)[:8], 16) / 2^32 ∈ [0,1), assigned by

@@ -582,6 +582,39 @@ def test_review_hardening_r4(spark):
         stratified_sample(nulls, "lang", "id", {"en": 1.0}).collect()
 
 
+def test_repetition_ngram_signals(spark):
+    """Gopher §A1.1 n-gram suite, hand-computed: positional coverage
+    counts overlapped tokens once; heaviest-gram tie-break is
+    deterministic (count × chars, then gram desc); short/empty docs
+    score 0; char accounting is token-chars only."""
+    from metadatadocumentparser_spark.operators.quality import (
+        repetition_ngram_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # toks=7, D=7: top-3 'a b c'×2 covers 6/7; top-4 all unique,
+            # max gram 'c a b c' covers 4/7; no duplicated 5+-grams
+            (1, "a b c a b c x"),
+            (2, ""),
+            (3, "p q"),  # shorter than every n
+            # 16 toks: 'u v w'×3 covers 9/16, 'u v w x'×3 covers 12/16,
+            # dup 5/6/10-grams all cover positions 0..14 = 15/16
+            (4, "u v w x y u v w x y u v w x y z"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r for r in repetition_ngram_signals(df, "id", "text").collect()}
+    assert (got[1].top_3gram_e4, got[1].top_4gram_e4) == (8571, 5714)
+    assert (got[1].dup_5gram_e4, got[1].dup_6gram_e4, got[1].dup_10gram_e4) == (0, 0, 0)
+    assert tuple(got[2]) == (2, 0, 0, 0, 0, 0)
+    assert tuple(got[3]) == (3, 0, 0, 0, 0, 0)
+    assert (got[4].top_3gram_e4, got[4].top_4gram_e4) == (5625, 7500)
+    assert (got[4].dup_5gram_e4, got[4].dup_6gram_e4, got[4].dup_10gram_e4) == (
+        9375, 9375, 9375,
+    )
+
+
 def test_minhash_banding_precision(spark):
     """(num_hashes, bands) are the production precision knob: on a planted
     corpus of 40 disjoint-vocabulary document pairs at shingle-Jaccard
