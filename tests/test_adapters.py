@@ -249,3 +249,168 @@ def test_fitz_real_pdf_roundtrip():
     spans = parsed["spans"]
     assert all(s[0] <= s[1] for s in spans)
     assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+# --------------------------------------------------------------------------
+# vendored real-PDF fixture (tests/data/minimal.pdf): one page, Helvetica
+# "Spark graft fixture" at (72, 700), Info /Title /Author. The expected
+# get_text("dict")-shaped tree below is what the adapter consumes from it —
+# so the mapping half of pdf_bytes_to_payload executes in CI even where
+# PyMuPDF is absent (the live decode test stays importorskip-gated).
+# --------------------------------------------------------------------------
+
+import os as _os
+
+_FIXTURE_PDF = _os.path.join(_os.path.dirname(__file__), "data", "minimal.pdf")
+_FIXTURE_TEXT = "Spark graft fixture"
+_FIXTURE_TREE = {
+    "blocks": [
+        {
+            "type": 0,
+            "bbox": (72.0, 689.0, 168.0, 703.0),
+            "lines": [
+                {
+                    "bbox": (72.0, 689.0, 168.0, 703.0),
+                    "dir": (1.0, 0.0),
+                    "spans": [
+                        {"text": _FIXTURE_TEXT, "size": 11.0, "font": "Helvetica"}
+                    ],
+                }
+            ],
+        }
+    ]
+}
+_FIXTURE_META = {"title": "Tiny Fixture", "author": "Graft Test"}
+
+
+def test_vendored_pdf_structurally_valid():
+    """The checked-in fixture is a well-formed single-page PDF: header,
+    the objects the trailer points at, a correct xref offset table."""
+    data = open(_FIXTURE_PDF, "rb").read()
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    xref_at = int(data[data.rindex(b"startxref") + 9 :].split()[0])
+    assert data[xref_at : xref_at + 4] == b"xref"
+    # every xref entry must point at its "<i> 0 obj" header
+    # (line 0 = "xref", 1 = "0 7", 2 = the free entry; objects follow)
+    table = data[xref_at:].split(b"\n")[3:9]
+    for i, entry in enumerate(table, start=1):
+        off = int(entry.split()[0])
+        assert data[off:].startswith(f"{i} 0 obj".encode()), i
+    assert b"(" + _FIXTURE_TEXT.encode() + b")" in data
+    assert b"/Title (Tiny Fixture)" in data
+
+
+class _FakeRect:
+    width, height = 612.0, 792.0
+
+
+class _FakePage:
+    rect = _FakeRect()
+
+    def get_images(self):
+        return []
+
+    def get_drawings(self):
+        return []
+
+    def get_text(self, kind):
+        assert kind == "dict"
+        return _FIXTURE_TREE
+
+
+class _FakeDoc:
+    def __init__(self, metadata):
+        self.metadata = metadata
+        self.closed = False
+
+    def __iter__(self):
+        return iter([_FakePage()])
+
+    def close(self):
+        self.closed = True
+
+
+def test_pdf_bytes_to_payload_mapping(monkeypatch):
+    """Drives pdf_bytes_to_payload's REAL-library branch (page loop,
+    drawings/images calls, metadata handling, finally-close) against a
+    fake fitz serving the vendored fixture's expected tree — the branch
+    that used to be skip-gated now executes in every CI run; only the
+    native decode itself stays behind importorskip."""
+    from metadatadocumentparser_spark.sources import fitz_adapter as fa
+
+    data = open(_FIXTURE_PDF, "rb").read()
+    made = []
+
+    class _FakeFitz:
+        @staticmethod
+        def open(stream=None, filetype=None):
+            assert stream == data and filetype == "pdf"
+            doc = _FakeDoc(dict(_FIXTURE_META))
+            made.append(doc)
+            return doc
+
+    monkeypatch.setattr(fa, "fitz", _FakeFitz)
+    monkeypatch.setattr(fa, "FITZ_AVAILABLE", True)
+    payload = fa.pdf_bytes_to_payload(data)
+    assert made[0].closed  # native handle released
+    assert not payload.meta_error and payload.meta == _FIXTURE_META
+    assert len(payload.pages) == 1 and payload.pages[0].w == 612.0
+    [blk] = payload.pages[0].blocks
+    [ln] = blk.lines
+    [sp] = ln.spans
+    assert sp.text == _FIXTURE_TEXT and sp.font == "Helvetica" and sp.size == 11.0
+    assert (sp.start, sp.end) == (0, len(_FIXTURE_TEXT))
+
+    parsed = parse_doc(payload, file_size=len(data))
+    assert any(_FIXTURE_TEXT in b["text"] for b in parsed["blocks"])
+    assert parsed["meta"]["title"] == "Tiny Fixture"
+    assert parsed["meta"]["num_pages"] == 1
+
+    # metadata read raising must swallow into meta_error (parser.py:148-150
+    # scope), never fail the document
+    class _Exploding(_FakeDoc):
+        def __init__(self):
+            self.closed = False
+
+        @property
+        def metadata(self):
+            raise RuntimeError("boom")
+
+    class _FakeFitz2:
+        @staticmethod
+        def open(stream=None, filetype=None):
+            return _Exploding()
+
+    monkeypatch.setattr(fa, "fitz", _FakeFitz2)
+    p2 = fa.pdf_bytes_to_payload(data)
+    assert p2.meta_error and p2.meta is None and len(p2.pages) == 1
+
+
+def test_fitz_live_decode_of_vendored_fixture():
+    """Where PyMuPDF exists, the vendored bytes must decode to the
+    checked-in expectations: same text, same font, same metadata — pinning
+    the fixture and the fake-fitz tree to the real library's output."""
+    import pytest
+
+    fitz = pytest.importorskip("fitz")
+
+    data = open(_FIXTURE_PDF, "rb").read()
+    doc = fitz.open(stream=data, filetype="pdf")
+    assert doc.page_count == 1
+    tree = doc[0].get_text("dict")
+    spans = [
+        sp
+        for b in tree["blocks"]
+        if b.get("type") == 0
+        for ln in b["lines"]
+        for sp in ln["spans"]
+    ]
+    assert [s["text"] for s in spans] == [_FIXTURE_TEXT]
+    assert spans[0]["font"] == "Helvetica" and abs(spans[0]["size"] - 11.0) < 0.01
+    assert doc.metadata["title"] == "Tiny Fixture"
+    doc.close()
+
+    payload = pdf_bytes_to_payload(data)
+    [sp] = payload.pages[0].blocks[0].lines[0].spans
+    assert sp.text == _FIXTURE_TEXT
