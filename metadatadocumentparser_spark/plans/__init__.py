@@ -1,5 +1,6 @@
 """Logical plans: the end-to-end extraction pipeline and lineage/resume."""
 
+from .corpus_prep import corpus_prep, file_scan_count  # noqa: F401
 from .pipeline import (  # noqa: F401
     parse_transcripts,
     blocks_of,

@@ -1,0 +1,159 @@
+"""Fused corpus-preparation plan — the round-3/4 operators chained in the
+order a production training-data run uses them:
+
+    PII redaction → paragraph-level (C4 span) dedup → MinHash-LSH whole-doc
+    dedup → benchmark decontamination → stratified downsampling → sequence
+    packing (FFD)
+
+Redaction runs FIRST so every downstream hash (paragraph md5, shingle
+minima, decontamination shingles) is computed over the text that would
+actually be released; paragraph dedup precedes whole-doc dedup so shared
+boilerplate can't glue otherwise-distinct documents into near-dup
+clusters.
+
+Scan-count bound (the property that makes this ONE pipeline rather than
+six jobs): the corpus parquet is scanned exactly ONCE. The redacted +
+paragraph-deduped text is materialized once (localCheckpoint — on a
+cluster, a parquet staging write), and every later stage (signatures,
+decontamination, sampling, packing, stats) reads that in-memory/staged
+table; the executed plans of the final outputs contain ZERO file scans of
+the corpus (asserted in tests/test_corpus_prep.py and audited in
+PLANS.md round 4). The benchmark table is scanned once for its shingle
+set (broadcast — eval sets are bounded by definition).
+
+Every stage keeps its individual operator's scale shape: linear key
+shuffles only, no all-pairs joins, md5-deterministic decisions (the whole
+pipeline is reproducible across engines, partitionings and cluster
+sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import token_count
+from ..operators import dedup, quality
+from ..operators.packing import pack_sequences
+from ..operators.paradedup import paragraph_dedup
+from ..operators.redact import redact_pii
+from ..operators.sampling import stratified_sample
+
+
+def corpus_prep(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.3,
+    capacity: int = 2048,
+    n_shards: int = 64,
+    num_hashes: int = dedup.NUM_HASHES,
+    bands: int = dedup.BANDS,
+) -> dict[str, DataFrame]:
+    """Returns {"docs": survivors (id, text, strata, n_tokens),
+    "packed": pack_sequences output over the survivors,
+    "stats": 1-row stage-survivor counts (single action)}.
+
+    ``docs`` must carry (id_col, text_col, strata_col); ``benchmark`` is
+    the held-out eval set to decontaminate against (id_col, text_col)."""
+    rates = rates or {"en": 0.8, "de": 0.5}
+
+    # ---- stage 1+2: redact, then paragraph-dedup the masked text.
+    # One corpus scan; the compact (id, strata, text) result is
+    # materialized so no later stage re-reads (or re-redacts) the corpus.
+    red = redact_pii(docs, id_col, text_col).select(
+        "id", F.col("redacted").alias("text")
+    )
+    strata = docs.select(
+        F.col(id_col).alias("id"), F.col(strata_col).alias("strata")
+    )
+    para = (
+        paragraph_dedup(red.join(strata, "id"), "id", "text")
+        .join(strata, "id")
+        .select(
+            "id",
+            F.col("text_dedup").alias("text"),
+            "strata",
+            "n_paras",
+            "n_kept",
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = para.where(F.length("text") > 0)  # fully-boilerplate docs drop
+
+    # ---- stage 3: whole-doc near-dup dedup (MinHash-LSH → components)
+    # the dropped-id list is consumed twice (the filter chain AND the stats
+    # aggregation) — checkpoint the tiny id table so the signature pass
+    # never runs twice
+    clusters = dedup.dedup_clusters(
+        base, "id", "text", num_hashes=num_hashes, bands=bands
+    )
+    dupes = (
+        clusters.where(F.col("id") != F.col("label"))
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    deduped = base.join(dupes, "id", "left_anti")
+
+    # ---- stage 4: benchmark decontamination (broadcast shingle set);
+    # checkpointed for the same consumed-twice reason (also makes the
+    # benchmark scan happen exactly once)
+    bench_norm = benchmark.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    contaminated = (
+        quality.decontaminate(deduped, bench_norm, "id", "text")
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    clean = deduped.join(contaminated, "id", "left_anti")
+
+    # ---- stage 5: deterministic stratified downsampling
+    sampled = stratified_sample(clean, "strata", "id", rates, default_rate)
+
+    # survivors materialize once; packing and stats both read this table
+    survivors = sampled.select(
+        "id", "text", "strata", token_count(F.col("text")).alias("n_tokens")
+    ).localCheckpoint(eager=True)
+
+    # ---- stage 6: sequence packing (FFD in md5 shards)
+    packed = pack_sequences(
+        survivors, "id", "n_tokens", capacity=capacity, n_shards=n_shards
+    )
+
+    # stage-survivor counts in ONE action over the small post-stage tables
+    # (never a second corpus scan): left joins tag each doc's furthest stage
+    stats = (
+        para.select(
+            "id",
+            (F.length("text") > 0).alias("kept_para"),
+            (F.col("n_paras") - F.col("n_kept")).alias("paras_dropped"),
+        )
+        .join(dupes.select("id", F.lit(True).alias("is_dupe")), "id", "left")
+        .join(contaminated.select("id", F.lit(True).alias("is_contam")), "id", "left")
+        .join(survivors.select("id", F.lit(True).alias("is_final")), "id", "left")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.sum("paras_dropped").cast("bigint").alias("n_paras_deduped"),
+            F.sum(F.col("kept_para").cast("int")).cast("bigint").alias("n_after_para"),
+            (
+                F.sum(F.col("kept_para").cast("int"))
+                - F.sum(F.coalesce(F.col("is_dupe").cast("int"), F.lit(0)))
+            ).cast("bigint").alias("n_after_dedup"),
+            F.sum(F.coalesce(F.col("is_contam").cast("int"), F.lit(0)))
+            .cast("bigint").alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("is_final").cast("int"), F.lit(0)))
+            .cast("bigint").alias("n_final"),
+        )
+    )
+    return {"docs": survivors, "packed": packed, "stats": stats}
+
+
+def file_scan_count(df: DataFrame) -> int:
+    """Number of file-source scans in df's EXECUTED plan — the audit hook
+    for the scan-count bound (0 for plans rooted at checkpointed stages)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(plan.count(m) for m in ("FileScan parquet", "Scan parquet"))

@@ -1,0 +1,80 @@
+"""End-to-end fused corpus-prep plan (plans/corpus_prep.py): redact →
+paragraph dedup → MinHash dedup → decontaminate → stratified sample →
+pack, with the scan-count bound asserted on the executed plans and every
+stage's survivor count pinned (md5-deterministic pipeline → exact values
+at sf0.001)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from metadatadocumentparser_spark.plans import corpus_prep, file_scan_count
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run(spark):
+    docs = spark.read.parquet(SF_DOCS)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return corpus_prep(docs, bench, capacity=1200, n_shards=8)
+
+
+def test_corpus_prep_pinned_counts(spark):
+    out = _run(spark)
+    stats = out["stats"].collect()[0].asDict()
+    # deterministic end-to-end survivor counts (md5 decisions everywhere)
+    assert stats == {
+        "n_input": 500,
+        "n_paras_deduped": 0,  # synth docs are single-paragraph
+        "n_after_para": 500,
+        "n_after_dedup": 474,
+        "n_contaminated": 225,
+        "n_final": 121,
+    }
+    packed = out["packed"].localCheckpoint(eager=True)
+    assert packed.count() == 8
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == 121
+    assert packed.agg(F.sum("total_tokens")).collect()[0][0] == 5404
+    assert packed.where("oversize").count() == 0
+
+    # exactly-once: packed membership == the survivor id set
+    packed_ids = sorted(
+        i for r in packed.select("ids").collect() for i in r.ids
+    )
+    survivor_ids = sorted(r.id for r in out["docs"].select("id").collect())
+    assert packed_ids == survivor_ids
+
+    # sanity on the raw corpus (sf0.001 plants no PII — see the dedicated
+    # redaction-order test below)
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    texts = [r.text for r in out["docs"].select("text").collect()]
+    assert not any(email.search(t) for t in texts)
+
+
+def test_corpus_prep_redacts_before_hashing(spark):
+    """Redaction runs FIRST: with PII planted into every doc, every
+    survivor's released text carries the mask token and no raw email
+    survives anywhere downstream of the staging checkpoint."""
+    docs = spark.read.parquet(SF_DOCS).select(
+        "doc_id",
+        F.concat(F.lit("contact bob@example.com now "), F.col("text")).alias("text"),
+        "lang",
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = corpus_prep(docs, bench, capacity=1200, n_shards=8)
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    texts = [r.text for r in out["docs"].select("text").collect()]
+    assert texts and all("<EMAIL>" in t for t in texts)
+    assert not any(email.search(t) for t in texts)
+
+
+def test_corpus_prep_scan_bound(spark):
+    """The whole chain reads the corpus parquet exactly once (the staging
+    checkpoint); the final outputs' executed plans contain ZERO file
+    scans — the bound that makes this one pipeline, not six jobs."""
+    out = _run(spark)
+    assert file_scan_count(out["docs"]) == 0
+    assert file_scan_count(out["packed"]) == 0
+    assert file_scan_count(out["stats"]) == 0
