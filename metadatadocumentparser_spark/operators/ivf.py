@@ -64,26 +64,42 @@ def ivf_cosine_topk(
     k: int = 5,
     n_list: int = 16,
     n_probe: int = 4,
+    centroids=None,
 ) -> DataFrame:
     """Same output shape as similarity.cosine_topk (qid, rank, nid, cosine);
-    recall < 1 by design (candidates limited to probed lists)."""
-    if n_list > MAX_N_LIST:
+    recall < 1 by design (candidates limited to probed lists).
+
+    ``centroids``: optional pre-trained (n_list, dim) array — pass
+    ``kmeans_fit(...)["centroids"]`` (operators/kmeans.py) to replace the
+    id-stride seed with Lloyd-trained lists (tighter lists → better
+    recall at the same n_probe; also the only path past MAX_N_LIST's
+    driver-collect budget, since k-means keeps only k×dim driver state)."""
+    if centroids is not None:
+        import numpy as _np
+
+        cents = _np.asarray(centroids, dtype=_np.float64)
+        norms = _np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
+        n_list = cents.shape[0]
+    elif n_list > MAX_N_LIST:
         # same fail-loud pattern as similarity's exact-near-dup cap
         raise ValueError(
             f"ivf_cosine_topk: n_list={n_list} exceeds MAX_N_LIST="
             f"{MAX_N_LIST}: the coarse-quantizer seed collects n_list*50 "
             f"vectors to the driver; beyond this train centroids "
-            f"distributed (sampled k-means) instead of raising the cap"
+            f"distributed (operators/kmeans.kmeans_fit) and pass them via "
+            f"centroids= instead of raising the cap"
         )
-    spark = emb.sparkSession
-    # deterministic centroid sample: every (count/n_list)-th vector by id
-    sample = (
-        emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(n_list * 50)
-    ).collect()
-    stride = max(1, len(sample) // n_list)
-    cents = _centroids([(r.i, r.v) for r in sample[::stride][:n_list]], n_list)
+    else:
+        # deterministic centroid sample: every (count/n_list)-th vector by id
+        sample = (
+            emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .orderBy("i")
+            .limit(n_list * 50)
+        ).collect()
+        stride = max(1, len(sample) // n_list)
+        cents = _centroids([(r.i, r.v) for r in sample[::stride][:n_list]], n_list)
 
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     assign_c = e.mapInPandas(

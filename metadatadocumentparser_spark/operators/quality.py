@@ -84,6 +84,56 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_line_signals(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Gopher §A1.1 within-doc duplicate LINE (or paragraph — pass
+    sep='\\n\\n') signals: (id, n_units, dup_unit_e4, dup_unit_char_e4).
+
+    - dup_unit = (n_units - n_distinct) / n_units — the fraction of
+      lines/paragraphs that are repeats of an earlier one.
+    - dup_unit_char = chars in occurrences AFTER THE FIRST of each
+      duplicated unit / total unit chars (separators excluded) — the
+      character-mass the repeats add, mirroring dup_word's
+      beyond-the-first convention.
+
+    ``sep`` is a literal (regex-quoted, like paragraph_dedup). One
+    (id, unit) keyed aggregation — the same linear skew-free shape as the
+    bigram pass; unit counts are array-native (no shuffle)."""
+    from .paradedup import _java_regex_quote
+
+    units = F.split(F.col(text_col), _java_regex_quote(sep))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(units).cast("bigint").alias("n_units"),
+        F.size(F.array_distinct(units)).cast("bigint").alias("n_distinct"),
+        units.alias("units"),
+    )
+    per_unit = (
+        base.select("id", F.explode("units").alias("u"))
+        .groupBy("id", "u")
+        .agg(F.count("*").alias("c"))
+    )
+    chars = per_unit.groupBy("id").agg(
+        F.sum((F.col("c") - 1) * F.length("u")).cast("bigint").alias("dupc"),
+        F.sum(F.col("c") * F.length("u")).cast("bigint").alias("totc"),
+    )
+    out = base.drop("units").join(chars, "id")
+    dup = F.when(
+        F.col("n_units") > 0,
+        (F.col("n_units") - F.col("n_distinct")) / F.col("n_units"),
+    ).otherwise(F.lit(0.0))
+    dupc = F.when(
+        F.col("totc") > 0, F.col("dupc") / F.col("totc")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id",
+        "n_units",
+        half_up_scaled(dup, 4).alias("dup_unit_e4"),
+        half_up_scaled(dupc, 4).alias("dup_unit_char_e4"),
+    )
+
+
 GOPHER_TOP_NS = (3, 4)
 GOPHER_DUP_NS = (5, 6, 10)
 

@@ -126,3 +126,79 @@ def test_ivf_n_list_guard(spark):
     emb = load_table(spark, SF, "embeddings")
     with pytest.raises(ValueError, match="MAX_N_LIST"):
         ivf_cosine_topk(emb, emb.limit(1), n_list=MAX_N_LIST + 1)
+
+
+def test_kmeans_blobs(spark):
+    """Distributed Lloyd on 3 well-separated blobs: exact blob recovery,
+    convergence, determinism under repartitioning, agreement with a pure
+    numpy replica of the same seeded algorithm, and the pre-trained-
+    centroid path into ivf_cosine_topk."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from metadatadocumentparser_spark.operators.kmeans import MAX_K, kmeans_fit
+
+    dim, per = 8, 40
+    # directionally separated centers (blocks of dims), not collinear
+    # magnitudes: the IVF integration below scores by COSINE, where
+    # collinear centers would collapse after normalization
+    centers = np.zeros((3, dim))
+    for c, dims in enumerate(([0, 1, 2], [3, 4, 5], [6, 7])):
+        centers[c, dims] = 100.0
+    rows = []
+    for c in range(3):
+        for j in range(per):
+            i = c * per + j
+            off = [((i * 31 + d * 7) % 11 - 5) / 10.0 for d in range(dim)]
+            rows.append((i, (centers[c] + np.array(off)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    fit = kmeans_fit(df, k=3, max_iter=10)
+    assert fit["converged"]
+    got = {r.id: r.cluster for r in fit["assignments"].collect()}
+    blobs = [{got[c * per + j] for j in range(per)} for c in range(3)]
+    assert all(len(b) == 1 for b in blobs)           # each blob uniform
+    assert len(set.union(*blobs)) == 3               # blobs distinct
+
+    # determinism under repartitioning (assignments exact; centroids can
+    # differ in final ulps from FP sum order — assert tight closeness)
+    fit2 = kmeans_fit(df.repartition(17), k=3, max_iter=10)
+    assert {r.id: r.cluster for r in fit2["assignments"].collect()} == got
+    assert np.abs(fit2["centroids"] - fit["centroids"]).max() < 1e-9
+
+    # numpy replica: same md5-ordered seeding, same Lloyd updates
+    ids = [r[0] for r in rows]
+    vecs = np.array([r[1] for r in rows])
+    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+    cents = vecs[order[:3]].copy()
+    for _ in range(10):
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(3):
+            if (a == c).any():
+                new[c] = vecs[a == c].mean(axis=0)
+        if np.abs(new - cents).max() <= 1e-6:
+            cents = new
+            break
+        cents = new
+    assert np.abs(cents - fit["centroids"]).max() < 1e-9
+    assert [got[i] for i in ids] == list(
+        ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    )
+
+    with pytest.raises(ValueError, match="MAX_K"):
+        kmeans_fit(df, k=MAX_K + 1)
+    with pytest.raises(ValueError, match="exceeds the corpus"):
+        kmeans_fit(df, k=500)
+
+    # trained centroids feed IVF directly (the past-MAX_N_LIST path)
+    from metadatadocumentparser_spark.operators.ivf import ivf_cosine_topk
+
+    q = df.where(F.col("vec_id").isin([0, 40, 80]))
+    out = ivf_cosine_topk(df, q, k=3, n_probe=1, centroids=fit["centroids"])
+    per_q = {r.qid: r.nid for r in out.where(F.col("rank") == 1).collect()}
+    # with 1 probe into trained lists, top-1 neighbors stay inside the blob
+    assert all(qid // per == nid // per for qid, nid in per_q.items())

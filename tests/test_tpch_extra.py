@@ -294,3 +294,128 @@ SELECT t2.id, COALESCE(agg.dedup_md5, md5('')) AS dedup_md5,
        CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
 FROM t t2 LEFT JOIN agg ON t2.id = agg.id
 """)
+
+
+def test_q19_disjunctive_predicate(spark):
+    """Q19 shape: OR-of-ANDs predicate across the lineitem⋈part join
+    (brand × size-band × quantity-band). Catalyst pushes the common
+    p_partkey equi-key and evaluates the disjunction post-join — the query
+    checks revenue over a predicate no single index could serve.
+    (Adapted: this part table has no p_container; size bands replace it.)"""
+    li = load_table(spark, SF, "lineitem")
+    p = load_table(spark, SF, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(16, 30))
+           & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(31, 50))
+           & (F.col("l_quantity").between(20, 35)))
+    )
+    out = j.where(cond).agg(
+        F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n")
+    )
+    _check(spark, out, """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+       AND l_quantity BETWEEN 20 AND 35)
+""")
+
+
+def test_q22_dormant_rich_customers(spark):
+    """Q22 shape: scalar-subquery threshold (average positive balance) +
+    anti join (no recent orders) + grouped agg. (Adapted: this customer
+    table has no c_phone, so the grouping key is c_mktsegment, and 'no
+    orders at all' is vacuous here — every customer has some — so the
+    EXISTS window is orders from 1998 on.)"""
+    c = load_table(spark, SF, "customer")
+    o = load_table(tq.entrymod._utc(spark), SF, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("thr")
+    )
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("thr"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    out = dormant.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+    _check(spark, out, """
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+""")
+
+
+def test_repetition_line_signals_duckdb_oracle(spark):
+    """Gopher duplicate-line signals checked cross-engine on a derived
+    corpus where every doc repeats its first line (plus id-varying tails):
+    unit counts and beyond-the-first duplicate character mass must match
+    an independent DuckDB implementation, line AND paragraph grain."""
+    from metadatadocumentparser_spark.operators.quality import (
+        repetition_line_signals,
+    )
+
+    d = load_table(spark, SF, "documents")
+    derived = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 30), F.lit("\n"),
+            F.substring("text", 31, 25), F.lit("\n"),
+            F.substring("text", 1, 30), F.lit("\ntail-"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    out = repetition_line_signals(derived, "doc_id", "text")
+    _check(spark, out, """
+WITH derived AS (
+  SELECT doc_id AS id,
+         substr(text, 1, 30) || chr(10) || substr(text, 31, 25) || chr(10)
+         || substr(text, 1, 30) || chr(10) || 'tail-' || (doc_id % 3) AS text
+  FROM documents),
+t AS (SELECT id, string_split(text, chr(10)) AS us FROM derived),
+b AS (SELECT id, CAST(len(us) AS BIGINT) AS n_units,
+             CAST(len(list_distinct(us)) AS BIGINT) AS n_distinct FROM t),
+pu AS (SELECT id, unnest(us) AS u FROM t),
+cnt AS (SELECT id, u, COUNT(*) AS c FROM pu GROUP BY 1, 2),
+ch AS (SELECT id, CAST(SUM((c - 1) * length(u)) AS BIGINT) AS dupc,
+              CAST(SUM(c * length(u)) AS BIGINT) AS totc
+       FROM cnt GROUP BY id)
+SELECT b.id, b.n_units,
+       CAST(FLOOR((CASE WHEN b.n_units > 0
+            THEN CAST(b.n_units - b.n_distinct AS DOUBLE) / b.n_units
+            ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT) AS dup_unit_e4,
+       CAST(FLOOR((CASE WHEN ch.totc > 0
+            THEN CAST(ch.dupc AS DOUBLE) / ch.totc
+            ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT) AS dup_unit_char_e4
+FROM b JOIN ch ON b.id = ch.id
+""")
+
+    # paragraph grain over a two-paragraph doc with a repeated paragraph
+    docs2 = spark.createDataFrame(
+        [(1, "para one\n\npara two\n\npara one"), (2, "a\n\nb")],
+        "id int, text string",
+    )
+    got = {
+        r.id: r
+        for r in repetition_line_signals(docs2, "id", "text", sep="\n\n").collect()
+    }
+    assert got[1].n_units == 3 and got[1].dup_unit_e4 == 3333
+    # dup chars = 8 (second 'para one'); total = 8+8+8 = 24 -> 1/3
+    assert got[1].dup_unit_char_e4 == 3333
+    assert got[2].dup_unit_e4 == 0 and got[2].dup_unit_char_e4 == 0

@@ -126,7 +126,9 @@ Notes
   of a 32-core one.
 - Regenerate: `python tools/bench_scaling.py [n_turns]`.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # sidecar, NOT BENCH.md: BENCH.md is the curated round record (it
+    # carries measured explanations the raw table must not clobber)
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write(md)
     print(json.dumps({"eff": eff, "r8": r8, "r32": r32}))
 
