@@ -289,7 +289,11 @@ def extract_all_materialized(
     the nested rows measured slower than parquet round-trip + re-read; at
     100 TB the staging write is also the natural recovery point)."""
     parsed = parse_transcripts(df, **parse_kwargs)
-    parsed.write.mode("overwrite").parquet(staging_path)
+    # zstd staging: measured wall-time-equal to snappy/lz4/uncompressed on
+    # the 600k bench corpus (all within noise) at 30% smaller files
+    # (107 vs 152 MB) — at 100 TB the staging layer's I/O and footprint
+    # are the cost that matters (BENCH.md round 4)
+    parsed.write.mode("overwrite").option("compression", "zstd").parquet(staging_path)
     spark = df.sparkSession
     materialized = spark.read.parquet(staging_path)
     return outputs_of(materialized, strict_mode=strict_mode, ocr_strategy=ocr_strategy)
