@@ -190,6 +190,33 @@ def main():
         "cdc_chunks",
         lambda: content_defined_chunks(docs, "doc_id", "text").count(),
     )
+    # round-3/4 corpus-prep operators (NOTE: added in r4 — the "value"
+    # total covers more ops than r1-r3 JSONs; turns_per_sec is unchanged)
+    from metadatadocumentparser_spark.operators.packing import pack_sequences
+    from metadatadocumentparser_spark.operators.paradedup import paragraph_dedup
+    from metadatadocumentparser_spark.operators.quantize import quantize_embeddings
+    from metadatadocumentparser_spark.operators.quality import (
+        repetition_ngram_signals,
+    )
+
+    timed(
+        "paradedup",
+        lambda: paragraph_dedup(docs, "doc_id", "text").count(),
+    )
+    timed(
+        "pack_sequences",
+        lambda: pack_sequences(
+            docs.select("doc_id", F.length("text").alias("sz")), "doc_id", "sz", 1200
+        ).count(),
+    )
+    timed(
+        "quantize",
+        lambda: quantize_embeddings(emb, "vec_id", "embedding").count(),
+    )
+    timed(
+        "gopher_ngrams",
+        lambda: repetition_ngram_signals(docs, "doc_id", "text").count(),
+    )
 
     total = round(sum(v for k, v in timings.items() if k != "cold_first_run_sec"), 3)
     print(
