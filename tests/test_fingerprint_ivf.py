@@ -202,3 +202,73 @@ def test_kmeans_blobs(spark):
     per_q = {r.qid: r.nid for r in out.where(F.col("rank") == 1).collect()}
     # with 1 probe into trained lists, top-1 neighbors stay inside the blob
     assert all(qid // per == nid // per for qid, nid in per_q.items())
+
+
+def test_product_quantization(spark):
+    """PQ compression + ADC search: deterministic codes under
+    repartitioning, sane reconstruction on unit vectors, exact blob
+    recovery on separable data, and the production two-stage
+    (ADC shortlist → exact rerank) recall on the synthetic embeddings."""
+    import numpy as np
+
+    from metadatadocumentparser_spark.operators.pq import (
+        pq_decode,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+        pq_topk_rerank,
+    )
+    from metadatadocumentparser_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_fit(emb, m=8, k=16, max_iter=5)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, books)
+    c1 = {r.id: list(r.codes) for r in codes.collect()}
+    c2 = {r.id: list(r.codes) for r in pq_encode(emb.repartition(13), books).collect()}
+    assert c1 == c2 and len(c1) == emb.count()
+    assert all(0 <= c < 16 for cs in c1.values() for c in cs)
+
+    # reconstruction distortion on unit vectors is bounded well below the
+    # unit-sphere diameter (measured 0.55 mean squared err on this corpus)
+    dec = {r.id: np.array(r.vec) for r in pq_decode(codes, books).collect()}
+    raw = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    errs = [
+        float(np.sum((v / (np.linalg.norm(v) or 1.0) - dec[i]) ** 2))
+        for i, v in raw.items()
+    ]
+    assert 0 < sum(errs) / len(errs) < 0.8
+
+    # blobs: directionally separated clusters must quantize losslessly
+    # enough that ADC top-k never leaves the blob
+    dim, per = 8, 30
+    centers = np.zeros((4, dim))
+    for c in range(4):
+        centers[c, 2 * c : 2 * c + 2] = 100.0
+    rows = []
+    for c in range(4):
+        for j in range(per):
+            i = c * per + j
+            off = [((i * 13 + d * 5) % 9 - 4) / 10.0 for d in range(dim)]
+            rows.append((i, (centers[c] + np.array(off)).tolist()))
+    blobs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    bb = pq_fit(blobs, m=4, k=8, max_iter=5)
+    bq = blobs.where(F.col("vec_id").isin([0, 30, 60, 90]))
+    out = pq_topk(pq_encode(blobs, bb), bq, bb, k=5)
+    assert out.count() == 20
+    assert all(r.qid // per == r.nid // per for r in out.collect())
+
+    # two-stage search on the real synthetic corpus: ADC shortlist-50 +
+    # exact rerank recovers ≥90% of the true cosine top-10 (measured 0.94
+    # at m=16, k=64; deterministic via md5 seeding)
+    books2 = pq_fit(emb, m=16, k=64, max_iter=5)
+    codes2 = pq_encode(emb, books2)
+    q = emb.where(F.col("vec_id") < 10)
+    true = {}
+    for r in cosine_topk(emb, q, k=10).collect():
+        true.setdefault(r.qid, set()).add(r.nid)
+    got = {}
+    for r in pq_topk_rerank(codes2, emb, q, books2, k=10, shortlist=50).collect():
+        got.setdefault(r.qid, set()).add(r.nid)
+    recall = sum(len(true[x] & got[x]) for x in true) / (10 * len(true))
+    assert recall >= 0.9, recall
