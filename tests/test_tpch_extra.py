@@ -419,3 +419,51 @@ FROM b JOIN ch ON b.id = ch.id
     # dup chars = 8 (second 'para one'); total = 8+8+8 = 24 -> 1/3
     assert got[1].dup_unit_char_e4 == 3333
     assert got[2].dup_unit_e4 == 0 and got[2].dup_unit_char_e4 == 0
+
+
+def test_normalize_text_duckdb_oracle(spark):
+    """Unicode normalization checked cross-engine: NFC composition via
+    DuckDB's nfc_normalize vs the Arrow-batched unicodedata kernel, plus
+    identical control-strip / whitespace-canonicalization regex chains —
+    md5 of every normalized byte must match, and the changed flags with
+    it. The derived corpus plants decomposed accents, zero-widths, BOM,
+    bidi marks, NBSP-family spaces, space runs and trailing spaces."""
+    from metadatadocumentparser_spark.operators.normalize import (
+        _CTRL_RE,
+        _SPACE_RE,
+        normalize_text,
+    )
+
+    plant = (
+        "écolé ​zw﻿ a b x  y\t z \n"
+        "tail ‪ bidi ⁩ end ."
+    )
+    d = load_table(spark, SF, "documents")
+    derived = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(plant)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = normalize_text(derived, "doc_id", "text").select(
+        "id", F.md5("text_norm").alias("norm_md5"), "changed"
+    )
+    sql_plant = plant.replace("'", "''")
+    _check(spark, out, f"""
+WITH derived AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{sql_plant}' ELSE text END AS text
+  FROM documents),
+n AS (
+  SELECT id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(nfc_normalize(text), '{_CTRL_RE}', '', 'g'),
+               '{_SPACE_RE}', ' ', 'g'),
+             '[ \t]+', ' ', 'g'),
+           ' +\n', chr(10), 'g') AS t
+  FROM derived)
+SELECT id, md5(t) AS norm_md5, t != text AS changed
+FROM n
+""")
