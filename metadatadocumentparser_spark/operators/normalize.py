@@ -67,7 +67,10 @@ def normalize_text(
 
     ``form``: 'NFC' (default — canonical composition, byte-stable joins)
     or 'NFKC' (also folds compatibility forms: ligatures, full-width);
-    None skips the unicode step (pure-native plan, zero Python)."""
+    None skips the unicode step (pure-native plan, zero Python).
+
+    NULL text stays NULL (there is nothing to normalize) with
+    changed=false — never a dropped row."""
     if form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"normalize_text: unknown form {form!r}")
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
@@ -86,5 +89,5 @@ def normalize_text(
     return out.join(orig, "id").select(
         "id",
         F.col("t").alias("text_norm"),
-        (F.col("t") != F.col("t_orig")).alias("changed"),
+        F.coalesce(F.col("t") != F.col("t_orig"), F.lit(False)).alias("changed"),
     )

@@ -35,11 +35,14 @@ def paragraph_dedup(
     """(id, text_dedup, n_paras, n_kept): text with every paragraph that
     already appeared earlier in the corpus (at a smaller (doc, pos))
     removed; counts expose how much was dropped. ``sep`` is a literal
-    string (regex metachars are quoted before the split)."""
+    string (regex metachars are quoted before the split). NULL text is
+    treated as empty text (n_paras 1, empty output — never a NULL count
+    or a dropped row)."""
     sep_re = _java_regex_quote(sep)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     p = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "para"),
+        F.posexplode(F.split(text, sep_re)).alias("pos", "para"),
     )
     p = p.withColumn("h", F.md5("para"))
     keeper = (
@@ -69,7 +72,7 @@ def paragraph_dedup(
     # was a duplicate survives as an empty text, it does not vanish
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), sep_re)).cast("bigint").alias("n_paras"),
+        F.size(F.split(text, sep_re)).cast("bigint").alias("n_paras"),
     )
     return base.join(agg, "id", "left").select(
         "id",

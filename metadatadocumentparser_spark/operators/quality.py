@@ -35,11 +35,14 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     top_bigram = 2 * count(most frequent bigram) / n_tokens (fraction of
     tokens covered by it); both 0 when undefined (0 tokens / <2 tokens).
     Word stats are array-native (zero shuffle); the bigram mode needs a
-    per-(doc, bigram) count — one aggregation keyed by (id, bigram)."""
+    per-(doc, bigram) count — one aggregation keyed by (id, bigram).
+    NULL text counts as empty (n_tokens 0, fractions 0 — never NULL)."""
     # no ensure_min_parallelism: like simhash, the bigram partial agg is a
     # cheap count per row — the repartition shuffle costs more than the
     # serial map side saves (see dedup.simhash for the measurement)
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda x: x != ""
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -99,10 +102,11 @@ def repetition_line_signals(
 
     ``sep`` is a literal (regex-quoted, like paragraph_dedup). One
     (id, unit) keyed aggregation — the same linear skew-free shape as the
-    bigram pass; unit counts are array-native (no shuffle)."""
+    bigram pass; unit counts are array-native (no shuffle). NULL text
+    counts as one empty unit (zeros — never NULL, never a dropped row)."""
     from .paradedup import _java_regex_quote
 
-    units = F.split(F.col(text_col), _java_regex_quote(sep))
+    units = F.split(F.coalesce(F.col(text_col), F.lit("")), _java_regex_quote(sep))
     base = df.select(
         F.col(id_col).alias("id"),
         F.size(units).cast("bigint").alias("n_units"),

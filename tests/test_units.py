@@ -615,6 +615,49 @@ def test_repetition_ngram_signals(spark):
     )
 
 
+def test_null_text_contract(spark):
+    """Uniform NULL-text contract across the text operators: NULL text is
+    treated as empty text — rows are NEVER silently dropped and counts
+    are NEVER NULL (the pre-fix line-signals op dropped the row; paradedup
+    leaked a NULL n_paras). normalize keeps NULL (nothing to normalize)
+    with changed=false; exact dedup groups NULL-content docs under the
+    NULL hash key."""
+    from metadatadocumentparser_spark.operators.chunking import (
+        content_defined_chunks,
+    )
+    from metadatadocumentparser_spark.operators.dedup import exact_dedup_groups
+    from metadatadocumentparser_spark.operators.normalize import normalize_text
+    from metadatadocumentparser_spark.operators.paradedup import paragraph_dedup
+    from metadatadocumentparser_spark.operators.quality import (
+        repetition_line_signals,
+        repetition_ngram_signals,
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world one two three"), (2, None)], "id int, text string"
+    )
+    pd_ = {r.id: r for r in paragraph_dedup(df, "id", "text").collect()}
+    assert pd_[2].n_paras == 1 and pd_[2].text_dedup == "" and pd_[2].n_kept == 1
+
+    rep = {r.id: r for r in repetition_signals(df, "id", "text").collect()}
+    assert rep[2].n_tokens == 0 and rep[2].dup_word_e4 == 0
+
+    lin = {r.id: r for r in repetition_line_signals(df, "id", "text").collect()}
+    assert 2 in lin and lin[2].n_units == 1 and lin[2].dup_unit_char_e4 == 0
+
+    ngr = {r.id: r for r in repetition_ngram_signals(df, "id", "text").collect()}
+    assert tuple(ngr[2])[1:] == (0, 0, 0, 0, 0)
+
+    assert content_defined_chunks(df, "id", "text").count() == 1  # no NULL chunks
+
+    groups = {r.h: r for r in exact_dedup_groups(df, "id", "text").collect()}
+    assert None in groups and groups[None].keeper == 2
+
+    nrm = {r.id: r for r in normalize_text(df, "id", "text").collect()}
+    assert nrm[2].text_norm is None and nrm[2].changed is False
+
+
 def test_minhash_banding_precision(spark):
     """(num_hashes, bands) are the production precision knob: on a planted
     corpus of 40 disjoint-vocabulary document pairs at shingle-Jaccard
