@@ -62,8 +62,12 @@ def normalize_text(
     form: str = "NFC",
     strip_controls: bool = True,
     canon_whitespace: bool = True,
+    changed_flag: bool = True,
 ) -> DataFrame:
-    """(id, text_norm, changed): normalized text + whether the row moved.
+    """(id, text_norm[, changed]): normalized text (+ whether the row
+    moved). ``changed_flag=False`` skips the original-text self-join —
+    one source scan instead of two, for pipelines that only want the
+    normalized bytes (plans/corpus_prep.py).
 
     ``form``: 'NFC' (default — canonical composition, byte-stable joins)
     or 'NFKC' (also folds compatibility forms: ligatures, full-width);
@@ -74,7 +78,7 @@ def normalize_text(
     if form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"normalize_text: unknown form {form!r}")
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    orig = src.withColumnRenamed("t", "t_orig")
+    orig = src.withColumnRenamed("t", "t_orig") if changed_flag else None
     if form is not None:
         src = src.mapInPandas(_nfc_kernel(form), schema="id bigint, t string")
     out = src
@@ -86,6 +90,8 @@ def normalize_text(
             .withColumn("t", F.regexp_replace("t", r"[ \t]+", " "))
             .withColumn("t", F.regexp_replace("t", r" +\n", "\n"))
         )
+    if not changed_flag:
+        return out.select("id", F.col("t").alias("text_norm"))
     return out.join(orig, "id").select(
         "id",
         F.col("t").alias("text_norm"),

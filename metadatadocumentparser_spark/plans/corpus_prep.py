@@ -52,14 +52,36 @@ def corpus_prep(
     n_shards: int = 64,
     num_hashes: int = dedup.NUM_HASHES,
     bands: int = dedup.BANDS,
+    normalize_form: str | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {"docs": survivors (id, text, strata, n_tokens),
     "packed": pack_sequences output over the survivors,
     "stats": 1-row stage-survivor counts (single action)}.
 
     ``docs`` must carry (id_col, text_col, strata_col); ``benchmark`` is
-    the held-out eval set to decontaminate against (id_col, text_col)."""
+    the held-out eval set to decontaminate against (id_col, text_col).
+
+    ``normalize_form``: optional unicode normalization ('NFC'/'NFKC',
+    operators/normalize.py) applied BEFORE redaction so every downstream
+    hash sees canonical bytes (two byte-different spellings dedup
+    together). Off by default — it adds one Python kernel pass and one
+    extra corpus scan (the strata re-join); turn it on for web-crawl
+    text, leave it off for already-clean corpora. The ZERO-file-scan
+    bound on the three outputs holds either way (everything downstream
+    of the staging checkpoint is unchanged)."""
     rates = rates or {"en": 0.8, "de": 0.5}
+
+    # ---- stage 0 (optional): unicode canonicalization (flag-free path —
+    # one normalize scan + one strata scan, both absorbed by the staging
+    # checkpoint below)
+    if normalize_form is not None:
+        from ..operators.normalize import normalize_text
+
+        docs = normalize_text(
+            docs, id_col, text_col, form=normalize_form, changed_flag=False
+        ).select(
+            F.col("id").alias(id_col), F.col("text_norm").alias(text_col)
+        ).join(docs.select(F.col(id_col), F.col(strata_col)), id_col)
 
     # ---- stage 1+2: redact, then paragraph-dedup the masked text.
     # One corpus scan; the compact (id, strata, text) result is

@@ -70,6 +70,51 @@ def test_corpus_prep_redacts_before_hashing(spark):
     assert not any(email.search(t) for t in texts)
 
 
+def test_corpus_prep_normalize_stage(spark):
+    """normalize_form='NFC': planted decomposed accents are composed
+    BEFORE any hashing, so byte-different spellings of the same text
+    dedup together; the zero-file-scan output bound still holds."""
+    base = spark.read.parquet(SF_DOCS).where(F.col("doc_id") < 40)
+    composed, decomposed = "caf\u00e9 ", "cafe\u0301 "  # byte-different, NFC-equal
+    # doc 2k and 2k+1 carry the SAME underlying text, spelled composed vs
+    # decomposed — without NFC they are byte-distinct documents
+    paired = base.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit(composed)).otherwise(
+                F.lit(decomposed)
+            ),
+            F.lit("pair text body shared words here number "),
+            (F.col("doc_id") / 2).cast("int").cast("string"),
+        ).alias("text"),
+        "lang",
+    )
+    bench = paired.limit(0)
+    out = corpus_prep(
+        paired, bench, rates={}, default_rate=1.0, capacity=1200,
+        n_shards=8, normalize_form="NFC",
+    )
+    stats = out["stats"].collect()[0]
+    # with NFC each odd doc's single paragraph becomes byte-equal to its
+    # even partner's, so the C4 span-dedup stage (which runs before
+    # MinHash) already removes all 20 decomposed copies; MinHash then
+    # collapses the 20 survivors (identical but for a trailing number)
+    # into one cluster keeper — all md5-deterministic
+    assert stats.n_input == 40 and stats.n_paras_deduped == 20
+    assert stats.n_after_para == 20 and stats.n_after_dedup == 1
+    assert file_scan_count(out["docs"]) == 0
+    texts = [r.text for r in out["docs"].select("text").collect()]
+    # NFC composes: the combining acute never survives, composed e-acute does
+    assert texts and all("caf\u00e9" in t and "\u0301" not in t for t in texts)
+
+    # control: WITHOUT normalization the spellings stay byte-distinct and
+    # no paragraph dedups away — the drop above is attributable to NFC
+    ctrl = corpus_prep(
+        paired, bench, rates={}, default_rate=1.0, capacity=1200, n_shards=8
+    )["stats"].collect()[0]
+    assert ctrl.n_paras_deduped == 0 and ctrl.n_after_para == 40
+
+
 def test_corpus_prep_scan_bound(spark):
     """The whole chain reads the corpus parquet exactly once (the staging
     checkpoint); the final outputs' executed plans contain ZERO file
