@@ -78,16 +78,16 @@ def pq_fit(
     return books
 
 
-def _encode_kernel(books: np.ndarray):
+def _encode_kernel(books: np.ndarray, normalize: bool = True):
     m, k, sub = books.shape
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = _normalize(
-                np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
-                ).reshape(len(pdf), m * sub)
-            )
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            ).reshape(len(pdf), m * sub)
+            if normalize:
+                vecs = _normalize(vecs)
             codes = np.empty((len(pdf), m), dtype="int32")
             for j in range(m):
                 s = vecs[:, j * sub : (j + 1) * sub]
@@ -103,11 +103,15 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
-    """(id, codes array<int>): m codes per vector — the compressed store."""
+    """(id, codes array<int>): m codes per vector — the compressed store.
+    ``normalize=False`` encodes the raw vectors (pre-normalized corpora,
+    or the cross-engine oracle where the norm's BLAS summation order
+    would break bit-exact comparison)."""
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return src.mapInPandas(
-        _encode_kernel(np.asarray(codebooks, dtype=np.float64)),
+        _encode_kernel(np.asarray(codebooks, dtype=np.float64), normalize),
         schema="id bigint, codes array<int>",
     )
 
