@@ -1,0 +1,195 @@
+"""Streaming incremental corpus preparation — the online analogue of
+plans/corpus_prep.py for append-only ingestion (a crawl that lands files
+continuously and must emit training-ready survivors incrementally instead
+of re-running a batch job over the whole corpus).
+
+Per microbatch (foreachBatch):
+1. optional unicode normalization + PII redaction (stateless projections),
+2. INCREMENTAL paragraph-level dedup: a paragraph survives iff its md5 is
+   new to the corpus-so-far (parquet paragraph-hash index) and it is the
+   first occurrence inside the batch (min (id, pos) — the same keeper
+   rule as the batch operator),
+3. INCREMENTAL near-dup dedup: MinHash band rows are matched against the
+   accumulated band index (same state model as streaming_near_dup);
+   within the batch, candidate components elect the min-id keeper.
+   Online semantic (documented): a document is dropped iff it matches an
+   already-indexed document OR it is not its batch-component's keeper.
+   When ids arrive in increasing order this equals the batch operator's
+   min-id-keeper rule; out-of-order arrival keeps the EARLIEST-SEEN
+   near-duplicate instead of the globally smallest id (an online system
+   cannot drop a doc it already emitted).
+4. deterministic stratified sampling (md5-uniform — stateless, identical
+   decision the batch pipeline makes),
+5. survivors appended to the output; indexes appended (plain parquet —
+   queryable, compactable, prunable with prune_band_index).
+
+Packing is intentionally absent: FFD bin packing is a batch decision over
+a closed corpus (a pack emitted now could not admit a better-fitting later
+doc) — run operators/packing over the survivor table per training run.
+
+foreachBatch may re-run a batch on failure; outputs and indexes are
+idempotently readable (consumers take DISTINCT on id, the indexes on
+(id, band, bkey) / h).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as _dedup
+from ..operators.paradedup import _java_regex_quote
+from ..operators.redact import redact_pii
+from ..operators.sampling import stratified_sample
+
+
+def _read_or_none(spark: SparkSession, path: str):
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:  # PATH_NOT_FOUND on the very first batch
+        return None
+
+
+def streaming_corpus_prep(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    normalize_form: str | None = None,
+    sep: str = "\n",
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_k: int | None = None,
+    available_now: bool = True,
+):
+    """Input schema: doc_id bigint, text string, lang string, ts timestamp.
+    Output: survivors (doc_id, text, lang) appended to ``output_dir``.
+    State: ``state_dir``/paras (h) and ``state_dir``/bands (id, band,
+    bkey), both plain parquet."""
+    rates = rates or {}
+    nh = _dedup.NUM_HASHES if num_hashes is None else num_hashes
+    nb = _dedup.BANDS if bands is None else bands
+    sk = _dedup.SHINGLE_K if shingle_k is None else shingle_k
+    sep_re = _java_regex_quote(sep)
+    para_idx_dir = f"{state_dir}/paras"
+    band_idx_dir = f"{state_dir}/bands"
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df, batch_id: int):
+        docs = batch_df.select("doc_id", "text", "lang")
+        if normalize_form is not None:
+            from ..operators.normalize import normalize_text
+
+            docs = normalize_text(
+                docs, "doc_id", "text", form=normalize_form, changed_flag=False
+            ).select(F.col("id").alias("doc_id"), F.col("text_norm").alias("text")).join(
+                docs.select("doc_id", "lang"), "doc_id"
+            )
+        docs = redact_pii(docs, "doc_id", "text").select(
+            F.col("id").alias("doc_id"), F.col("redacted").alias("text")
+        ).join(docs.select("doc_id", "lang"), "doc_id")
+
+        # ---- incremental paragraph dedup
+        p = docs.select(
+            "doc_id", F.posexplode(F.split("text", sep_re)).alias("pos", "para")
+        ).withColumn("h", F.md5("para"))
+        para_idx = _read_or_none(spark, para_idx_dir)
+        fresh = p.where(F.col("para") != "")
+        if para_idx is not None:
+            fresh = fresh.join(para_idx, "h", "left_anti")
+        keeper = fresh.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+        kept = (
+            p.join(keeper, "h", "left")
+            .where(
+                (F.col("para") == "")
+                | (
+                    (F.col("doc_id") == F.col("k.doc_id"))
+                    & (F.col("pos") == F.col("k.pos"))
+                )
+            )
+            .select("doc_id", "pos", "para", "h")
+        )
+        rebuilt = (
+            kept.groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                        lambda x: x["para"],
+                    ),
+                    sep,
+                ).alias("text")
+            )
+            .where(F.length("text") > 0)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .localCheckpoint(eager=True)
+        )
+
+        # ---- incremental near-dup dedup
+        bands_df = _dedup.minhash_band_rows(
+            rebuilt, "doc_id", "text", num_hashes=nh, bands=nb, shingle_k=sk
+        ).localCheckpoint(eager=True)
+        band_idx = _read_or_none(spark, band_idx_dir)
+        if band_idx is not None:
+            cross_matched = (
+                bands_df.join(band_idx, ["band", "bkey"], "left_semi")
+                .select("id")
+                .distinct()
+            )
+        else:
+            cross_matched = bands_df.select("id").limit(0)
+        intra = (
+            bands_df.alias("a")
+            .join(bands_df.alias("b"), ["band", "bkey"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        # batch-component keeper = min id (same rule as dedup_clusters)
+        non_keepers = (
+            _dedup.connected_components(intra)
+            .where(F.col("id") != F.col("label"))
+            .select("id")
+            if not intra.isEmpty()
+            else intra.select(F.col("id_a").alias("id"))
+        )
+        dropped = cross_matched.unionByName(non_keepers).distinct()
+        survivors = rebuilt.join(
+            dropped.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+        )
+
+        # ---- deterministic sampling; then emit + index updates
+        sampled = stratified_sample(
+            survivors, "lang", "doc_id", rates, default_rate
+        ).localCheckpoint(eager=True)
+        sampled.select("doc_id", "text", "lang").write.mode("append").parquet(
+            output_dir
+        )
+        # paragraph index gains the batch's KEPT (first-occurrence) hashes;
+        # band index gains only SURVIVOR docs' rows (a dropped near-dup's
+        # content is represented by the doc it matched)
+        kept.where(F.col("para") != "").select("h").distinct().write.mode(
+            "append"
+        ).parquet(para_idx_dir)
+        bands_df.join(
+            survivors.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        ).write.mode("append").parquet(band_idx_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

@@ -302,3 +302,63 @@ def test_streaming_near_dup_index_retention(spark, tmp_path):
 
     with pytest.raises(ValueError, match="exactly one"):
         prune_band_index(spark, idx)
+
+
+def test_streaming_corpus_prep(spark, tmp_path):
+    """Incremental corpus prep: cross-batch paragraph dedup (an exact
+    re-arrival dies at the paragraph index), cross-batch near-dup drop
+    (band-index match), intra-batch component keeper election, and
+    redaction before any hashing — survivors and their released bytes
+    pinned across two microbatches."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.streaming.corpus_stream import (
+        streaming_corpus_prep,
+    )
+
+    # per-doc bodies: near-dup overlap exists ONLY between intended pairs
+    ba = " ".join(f"a{i}" for i in range(30))
+    bb = " ".join(f"b{i}" for i in range(30))
+    bc = " ".join(f"c{i}" for i in range(30))
+    d1 = f"SHARED HEADER\nalpha {ba} one\nSHARED FOOTER"
+    d2 = f"SHARED HEADER\nbeta {bb} mail bob@x.com\nSHARED FOOTER"
+    d3 = d1  # exact re-arrival -> all paragraphs already indexed
+    d4 = f"beta {bb} mail <EMAIL> CHANGED"  # near-dup of d2's kept text
+    d5 = f"gamma {bc} five"
+    d6 = f"gamma {bc} five CHANGED"  # intra-batch near-dup of d5
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string, lang string").select(
+            "doc_id", "text", "lang",
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        ).select("doc_id", "text", "lang", "ts")
+
+    indir, out, ckpt, state = (
+        str(tmp_path / d) for d in ("cin", "cout", "cckpt", "cstate")
+    )
+    mk([(1, d1, "en"), (2, d2, "en")]).coalesce(1).write.mode("append").parquet(indir)
+    q = streaming_corpus_prep(spark, indir, out, ckpt, state)
+    assert q.awaitTermination(240), "streaming query did not finish within 240s"
+
+    got1 = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(got1) == {1, 2}
+    assert got1[1] == d1  # first doc keeps everything
+    # doc 2: shared header/footer deduped away, email masked
+    assert got1[2] == f"beta {bb} mail <EMAIL>"
+
+    mk([(3, d3, "en"), (4, d4, "en"), (5, d5, "en"), (6, d6, "en")]).coalesce(
+        1
+    ).write.mode("append").parquet(indir)
+    q2 = streaming_corpus_prep(spark, indir, out, ckpt, state)
+    assert q2.awaitTermination(240), "streaming query did not finish within 240s"
+
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
+    # 3: every paragraph already indexed -> empty -> gone
+    # 4: fresh paragraph but band-matches indexed doc 2 -> dropped
+    # 6: intra-batch near-dup component {5, 6} -> keeper 5 survives
+    assert set(got) == {1, 2, 5}
+    assert got[5] == d5
+    # band index holds only survivors; paragraph index never indexes ''
+    bands_ids = {
+        r.id for r in spark.read.parquet(f"{state}/bands").select("id").distinct().collect()
+    }
+    assert bands_ids == {1, 2, 5}
