@@ -52,21 +52,28 @@ def pq_fit(
     m: int = 8,
     k: int = 16,
     max_iter: int = 5,
+    normalize: bool = True,
 ) -> np.ndarray:
-    """Train codebooks: (m, k, dim/m) ndarray. dim must divide by m."""
+    """Train codebooks: (m, k, dim/m) ndarray. dim must divide by m.
+    ``normalize=False`` trains on the raw vectors — the residual-space
+    path IVF-PQ needs (residuals are differences, not directions)."""
     dim = len(emb.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"pq_fit: dim={dim} not divisible by m={m}")
     sub = dim // m
-    # normalized corpus, materialized once; each subspace slices it
-    unit = F.sqrt(
-        F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)
-    )
-    src = emb.select(
-        F.col(id_col).alias("id"),
-        F.transform(
+    # corpus (normalized unless told otherwise), materialized once; each
+    # subspace slices it
+    if normalize:
+        unit = F.sqrt(
+            F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        v_expr = F.transform(
             vec_col, lambda x: x / F.when(unit > 0, unit).otherwise(F.lit(1.0))
-        ).alias("v"),
+        )
+    else:
+        v_expr = F.transform(vec_col, lambda x: x.cast("double"))
+    src = emb.select(
+        F.col(id_col).alias("id"), v_expr.alias("v")
     ).localCheckpoint(eager=True)
     books = np.zeros((m, k, sub))
     for j in range(m):
