@@ -60,3 +60,81 @@ def kmv_distinct_estimate(
         F.floor(est * 100.0 + 0.5).cast("bigint").alias("est_distinct_e2"),
         F.col("n_kept").cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982): the frequent-items sketch
+# behind every bounded-memory top-k — here as the classic TWO-PASS EXACT
+# pattern: pass 1 builds per-partition MG summaries (capacity counters
+# each, merged driver-side into a candidate set with the guarantee that
+# every item of true count > n/capacity survives); pass 2 computes EXACT
+# counts for the candidates only (a broadcast semi-filtered aggregation —
+# the shuffle carries candidate rows, not the whole corpus). Result: the
+# exact global top-k with O(partitions × capacity) driver state, never a
+# full-vocabulary shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _mg_partition(values, capacity: int) -> dict:
+    """One-pass Misra-Gries summary of an iterable (≤ capacity counters)."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            # decrement-all step (dict rebuild; zeros drop)
+            counters = {k2: c - 1 for k2, c in counters.items() if c > 1}
+    return counters
+
+
+def _mg_merge(a: dict, b: dict, capacity: int) -> dict:
+    """Summary merge (Agarwal et al. 2013 §3.2): add counts, then subtract
+    the (capacity+1)-th largest count from all and drop non-positives —
+    preserves the n/capacity error bound over the combined stream."""
+    out = dict(a)
+    for k2, c in b.items():
+        out[k2] = out.get(k2, 0) + c
+    if len(out) > capacity:
+        kth = sorted(out.values(), reverse=True)[capacity]
+        out = {k2: c - kth for k2, c in out.items() if c - kth > 0}
+    return out
+
+
+def heavy_hitters_exact(
+    df: DataFrame, value_col: str, k: int = 10, capacity: int = 1000
+) -> DataFrame:
+    """(value, cnt): the EXACT top-k most frequent values (ties broken by
+    value ascending), computed with bounded memory.
+
+    Correctness condition (classic): the result equals the full
+    groupBy-count top-k whenever the true k-th count exceeds n/capacity —
+    size capacity accordingly (capacity ≥ n / kth_count; the default
+    1000 covers any item above 0.1% frequency). Items rarer than the
+    bound can be missed BY DESIGN — that is the memory/completeness trade
+    every production heavy-hitters pass makes."""
+    sc = df.sparkSession.sparkContext
+
+    def part_sketch(rows):
+        yield _mg_partition((r[0] for r in rows), capacity)
+
+    sketches = df.select(value_col).rdd.mapPartitions(part_sketch).collect()
+    merged: dict = {}
+    for s in sketches:
+        merged = _mg_merge(merged, s, capacity)
+    if not merged:
+        return df.sparkSession.createDataFrame([], "value string, cnt bigint")
+    candidates = list(merged.keys())
+    exact = (
+        df.select(F.col(value_col).alias("value"))
+        .where(F.col("value").isin(candidates))
+        .groupBy("value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("value", "cnt")
+    )

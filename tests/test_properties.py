@@ -157,3 +157,53 @@ def test_ffd_packing_invariants(sizes, capacity):
     assert packs == _ffd(ids, sizes, capacity)
     under_half = [p for p in packs if p[1] < capacity / 2 and not p[2]]
     assert len(under_half) <= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=0, max_size=400),
+    st.integers(2, 20),
+)
+def test_misra_gries_guarantee(stream, capacity):
+    """MG invariants: ≤ capacity counters; every item with true count
+    > n/capacity is present; reported count ∈ (true - n/capacity, true]."""
+    from collections import Counter
+
+    from metadatadocumentparser_spark.operators.sketch import _mg_partition
+
+    sketch = _mg_partition(stream, capacity)
+    true = Counter(stream)
+    n = len(stream)
+    assert len(sketch) <= capacity
+    for item, c in true.items():
+        if c > n / capacity:
+            assert item in sketch, (item, c, n, capacity)
+    for item, c in sketch.items():
+        assert c <= true[item]
+        assert c > true[item] - n / capacity - 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 20), min_size=0, max_size=200),
+    st.lists(st.integers(0, 20), min_size=0, max_size=200),
+    st.integers(2, 12),
+)
+def test_misra_gries_merge_guarantee(s1, s2, capacity):
+    """Merged summaries keep the combined-stream n/capacity bound."""
+    from collections import Counter
+
+    from metadatadocumentparser_spark.operators.sketch import (
+        _mg_merge,
+        _mg_partition,
+    )
+
+    m = _mg_merge(_mg_partition(s1, capacity), _mg_partition(s2, capacity), capacity)
+    true = Counter(s1) + Counter(s2)
+    n = len(s1) + len(s2)
+    assert len(m) <= capacity
+    for item, c in true.items():
+        if c > 2 * n / capacity:  # two lossy stages → 2× bound
+            assert item in m, (item, c)
+    for item, c in m.items():
+        assert c <= true[item]

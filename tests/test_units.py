@@ -706,3 +706,32 @@ def test_minhash_banding_precision(spark):
     assert false_tight < false_loose
     with pytest.raises(ValueError, match="multiple of bands"):
         dedup.minhash_band_rows(df, "id", "text", num_hashes=8, bands=3)
+
+
+def test_heavy_hitters_exact(spark):
+    """Two-pass MG heavy hitters: equals the full groupBy-count top-k
+    (exactly, including value-asc tie-breaks) whenever capacity covers
+    the k-th frequency — verified on the exploded document tokens."""
+    from metadatadocumentparser_spark.operators.sketch import heavy_hitters_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    )
+    got = [(r.value, r.cnt) for r in heavy_hitters_exact(toks, "tok", k=20, capacity=2000).collect()]
+    want = [
+        (r.tok, r.cnt)
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(20)
+        .collect()
+    ]
+    assert got == want and len(got) == 20
+    # partitioning must not change the answer (sketches differ, the
+    # exact second pass does not)
+    got2 = [
+        (r.value, r.cnt)
+        for r in heavy_hitters_exact(toks.repartition(17), "tok", k=20, capacity=2000).collect()
+    ]
+    assert got2 == want
