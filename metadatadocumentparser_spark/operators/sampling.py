@@ -41,6 +41,58 @@ def sample_uniform(id_col: Column, salt: str = "sample") -> Column:
     ).otherwise(u)
 
 
+def sample_fixed(
+    df: DataFrame, id_col: str, k: int, salt: str = "sample"
+) -> DataFrame:
+    """Exactly min(k, n) rows, uniformly and DETERMINISTICALLY: the k
+    smallest md5-uniforms. Spark plans TakeOrderedAndProject (per-partition
+    top-k + a k-row merge — never a full sort), so this is the fixed-SIZE
+    companion to stratified_sample's fixed-RATE keep: same engine- and
+    partitioning-independent decisions, bounded output."""
+    u = sample_uniform(F.col(id_col), salt)
+    return (
+        df.withColumn("__u", u).orderBy("__u", id_col).limit(k).drop("__u")
+    )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = "sample"
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    key = u(id)^(1/w), keep the k LARGEST keys — inclusion probability
+    proportional to weight, deterministic via the md5 uniform. Zero or
+    negative weights never sample (key pinned to -1). Same
+    TakeOrderedAndProject shape as sample_fixed."""
+    u = sample_uniform(F.col(id_col), salt)
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.pow(u, 1.0 / w)).otherwise(F.lit(-1.0))
+    return (
+        df.withColumn("__k", key)
+        .where(F.col("__k") >= 0)
+        .orderBy(F.col("__k").desc(), id_col)
+        .limit(k)
+        .drop("__k")
+    )
+
+
+def sample_per_stratum(
+    df: DataFrame, strata_col: str, id_col: str, k: int, salt: str = "sample"
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum (deterministic md5
+    order) — the per-group fixed-size companion (one keyed window; Spark
+    plans WindowGroupLimit: per-partition group top-k before the
+    shuffle)."""
+    from pyspark.sql import Window
+
+    u = sample_uniform(F.col(id_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

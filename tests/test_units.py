@@ -735,3 +735,48 @@ def test_heavy_hitters_exact(spark):
         for r in heavy_hitters_exact(toks.repartition(17), "tok", k=20, capacity=2000).collect()
     ]
     assert got2 == want
+
+
+def test_sampling_variants(spark):
+    """Fixed-size, weighted (Efraimidis-Spirakis) and per-stratum
+    sampling: deterministic under repartitioning, python-mirror exact
+    (the md5-uniform makes every decision replayable), weights steer
+    inclusion, per-stratum counts exact."""
+    import hashlib
+
+    from metadatadocumentparser_spark.operators.sampling import (
+        sample_fixed,
+        sample_per_stratum,
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def u(i, salt="sample"):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want_fixed = sorted(ids, key=lambda i: (u(i), i))[:25]
+    got_fixed = [r.doc_id for r in sample_fixed(docs, "doc_id", 25).collect()]
+    assert sorted(got_fixed) == sorted(want_fixed)
+    got2 = [r.doc_id for r in sample_fixed(docs.repartition(17), "doc_id", 25).collect()]
+    assert sorted(got2) == sorted(want_fixed)
+
+    # weighted: weight = doc_id % 5 (so ~1/5 of docs can never sample)
+    wdf = docs.select("doc_id", (F.col("doc_id") % 5).cast("double").alias("w"))
+    want_w = sorted(
+        (i for i in ids if i % 5 > 0),
+        key=lambda i: (-(u(i) ** (1.0 / (i % 5))), i),
+    )[:25]
+    got_w = [r.doc_id for r in weighted_sample(wdf, "doc_id", "w", 25).collect()]
+    assert sorted(got_w) == sorted(want_w)
+    assert all(i % 5 > 0 for i in got_w)  # zero weights never sample
+
+    per = sample_per_stratum(docs, "lang", "doc_id", 7)
+    counts = {r.lang: r.c for r in per.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    full = {r.lang: r.c for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {l: min(7, c) for l, c in full.items()}
+    again = sample_per_stratum(docs.repartition(13), "lang", "doc_id", 7)
+    assert {tuple(r) for r in per.select("doc_id").collect()} == {
+        tuple(r) for r in again.select("doc_id").collect()
+    }
