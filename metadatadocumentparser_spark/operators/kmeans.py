@@ -50,6 +50,19 @@ def _seed_centroids(emb: DataFrame, id_col: str, vec_col: str, k: int) -> np.nda
     return np.array([r.v for r in rows], dtype=np.float64)
 
 
+def _finite_or_raise(vecs: np.ndarray, op: str) -> None:
+    """A NaN/Inf element would silently poison every centroid mean and
+    every distance it touches — fail loudly instead (same posture as
+    quantize's NULL handling, but k-means has no per-element NULL story:
+    a partial vector has no position in the space)."""
+    if vecs.size and not np.isfinite(vecs).all():
+        raise ValueError(
+            f"{op}: non-finite embedding element (NaN/Inf) — clean or drop "
+            f"these rows upstream (quantize_embeddings maps them to NULL; "
+            f"k-means cannot place them)"
+        )
+
+
 def _round_kernel(cents: np.ndarray):
     k, dim = cents.shape
 
@@ -58,6 +71,7 @@ def _round_kernel(cents: np.ndarray):
             vecs = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             ).reshape(len(pdf), dim)
+            _finite_or_raise(vecs, "kmeans_fit")
             d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)  # argmin = lowest index on ties
             clusters, counts = np.unique(assign, return_counts=True)
@@ -83,6 +97,7 @@ def _assign_kernel(cents: np.ndarray):
             vecs = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             ).reshape(len(pdf), dim)
+            _finite_or_raise(vecs, "kmeans assignment")
             d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
                 {"id": pdf["id"], "cluster": d2.argmin(axis=1).astype("int32")}

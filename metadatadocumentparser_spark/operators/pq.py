@@ -89,10 +89,13 @@ def _encode_kernel(books: np.ndarray, normalize: bool = True):
     m, k, sub = books.shape
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kmeans import _finite_or_raise
+
         for pdf in batches:
             vecs = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             ).reshape(len(pdf), m * sub)
+            _finite_or_raise(vecs, "pq_encode")
             if normalize:
                 vecs = _normalize(vecs)
             codes = np.empty((len(pdf), m), dtype="int32")

@@ -332,3 +332,25 @@ def test_ivfpq(spark):
     r2, r8 = recall(2), recall(8)
     assert r8 >= 0.9, r8          # probe-all + rerank ≈ exact
     assert r2 < r8                # probing fewer lists costs recall
+
+
+def test_kmeans_pq_nonfinite_guard(spark):
+    """NaN/Inf embedding elements fail LOUDLY in k-means and PQ — a
+    silent NaN would poison every centroid mean and distance it touches
+    (quantize maps them to NULL; k-means has no partial-vector story)."""
+    import pytest
+
+    from metadatadocumentparser_spark.operators.kmeans import kmeans_fit
+    from metadatadocumentparser_spark.operators.pq import pq_encode
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [float("nan"), 0.0]), (3, [3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        kmeans_fit(bad, k=2, max_iter=2)
+    import numpy as np
+
+    books = np.zeros((1, 2, 2))
+    with pytest.raises(Exception, match="non-finite"):
+        pq_encode(bad, books).collect()
