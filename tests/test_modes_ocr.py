@@ -139,3 +139,42 @@ def test_stage_skip_flags(spark):
     # golden-mode: oracle with the same flags agrees
     g = oracle.oracle_corpus(_rows(), extract_images_flag=False)
     assert len(g["images"]) == 0 and len(g["blocks"]) > 0
+
+
+def test_spark_submit_corpus_prep_job(spark, tmp_path):
+    """jobs/corpus_prep.py through real spark-submit --py-files: the
+    fused pipeline's three output tables land and the printed stats row
+    matches the in-process run's pinned counts (sf0.001: 500→121)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "cpout")
+    bench_path = str(tmp_path / "cpbench")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") % 97 == 0
+    ).write.mode("overwrite").parquet(bench_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "engine2.zip")
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", zip_path,
+         os.path.join(repo, "metadatadocumentparser_spark")],
+        check=True,
+    )
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", zip_path,
+         os.path.join(repo, "jobs", "corpus_prep.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--benchmark", bench_path,
+         "--output", out,
+         "--rates", "en=0.8,de=0.5", "--default-rate", "0.3",
+         "--capacity", "1200", "--shards", "8"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["n_input"] == 500
+    surv = spark.read.parquet(os.path.join(out, "survivors"))
+    packed = spark.read.parquet(os.path.join(out, "packed"))
+    assert surv.count() == stats["n_final"]
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == stats["n_final"]
