@@ -362,3 +362,52 @@ def test_streaming_corpus_prep(spark, tmp_path):
         r.id for r in spark.read.parquet(f"{state}/bands").select("id").distinct().collect()
     }
     assert bands_ids == {1, 2, 5}
+
+
+def test_streaming_corpus_prep_corpus_scale(spark, tmp_path):
+    """Integration at corpus scale (500 synthetic docs over 3
+    microbatches): structural invariants that must hold for ANY input —
+    survivors are a subset of the input with no duplicates, no two
+    survivors share a MinHash band bucket (each would have matched the
+    index or lost its component election), and every non-empty paragraph
+    appears EXACTLY once across all survivor texts (the C4 span-dedup
+    contract carried across batches by the paragraph index)."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.operators import dedup
+    from metadatadocumentparser_spark.streaming.corpus_stream import (
+        streaming_corpus_prep,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    indir, out, ckpt, state = (
+        str(tmp_path / d) for d in ("gin", "gout", "gckpt", "gstate")
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(indir)
+    q = streaming_corpus_prep(spark, indir, out, ckpt, state)
+    assert q.awaitTermination(300), "streaming query did not finish within 300s"
+
+    surv = spark.read.parquet(out).distinct()
+    n = surv.count()
+    assert 0 < n <= 500
+    ids = [r.doc_id for r in surv.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
+    input_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(ids) <= input_ids
+
+    # no surviving pair shares a band bucket
+    bands = dedup.minhash_band_rows(surv, "doc_id", "text")
+    clash = (
+        bands.alias("a").join(bands.alias("b"), ["band", "bkey"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .count()
+    )
+    assert clash == 0
+
+    # every non-empty paragraph globally unique across survivor texts
+    paras = surv.select(
+        F.explode(F.split("text", "\n")).alias("p")
+    ).where(F.col("p") != "")
+    assert paras.count() == paras.distinct().count()
