@@ -53,6 +53,7 @@ def corpus_prep(
     num_hashes: int = dedup.NUM_HASHES,
     bands: int = dedup.BANDS,
     normalize_form: str | None = None,
+    repetition_max: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {"docs": survivors (id, text, strata, n_tokens),
     "packed": pack_sequences output over the survivors,
@@ -106,6 +107,21 @@ def corpus_prep(
     )
     base = para.where(F.length("text") > 0)  # fully-boilerplate docs drop
 
+    # ---- stage 2b (optional): Gopher repetition quality gate on the
+    # RELEASED text (post-redaction, post-span-dedup) — drop docs whose
+    # repetition_signals column meets or exceeds any threshold, e.g.
+    # {"dup_word_e4": 9000, "top_bigram_e4": 5000}. Off by default.
+    if repetition_max:
+        rep = quality.repetition_signals(base, "id", "text")
+        cond = None
+        for colname, thr in repetition_max.items():
+            c = F.col(colname) >= int(thr)
+            cond = c if cond is None else (cond | c)
+        lowq = rep.where(cond).select("id").localCheckpoint(eager=True)
+        base = base.join(lowq, "id", "left_anti")
+    else:
+        lowq = base.select("id").limit(0).localCheckpoint(eager=True)
+
     # ---- stage 3: whole-doc near-dup dedup (MinHash-LSH → components)
     # the dropped-id list is consumed twice (the filter chain AND the stats
     # aggregation) — checkpoint the tiny id table so the signature pass
@@ -154,6 +170,7 @@ def corpus_prep(
             (F.length("text") > 0).alias("kept_para"),
             (F.col("n_paras") - F.col("n_kept")).alias("paras_dropped"),
         )
+        .join(lowq.select("id", F.lit(True).alias("is_lowq")), "id", "left")
         .join(dupes.select("id", F.lit(True).alias("is_dupe")), "id", "left")
         .join(contaminated.select("id", F.lit(True).alias("is_contam")), "id", "left")
         .join(survivors.select("id", F.lit(True).alias("is_final")), "id", "left")
@@ -161,8 +178,11 @@ def corpus_prep(
             F.count("*").alias("n_input"),
             F.sum("paras_dropped").cast("bigint").alias("n_paras_deduped"),
             F.sum(F.col("kept_para").cast("int")).cast("bigint").alias("n_after_para"),
+            F.sum(F.coalesce(F.col("is_lowq").cast("int"), F.lit(0)))
+            .cast("bigint").alias("n_quality_dropped"),
             (
                 F.sum(F.col("kept_para").cast("int"))
+                - F.sum(F.coalesce(F.col("is_lowq").cast("int"), F.lit(0)))
                 - F.sum(F.coalesce(F.col("is_dupe").cast("int"), F.lit(0)))
             ).cast("bigint").alias("n_after_dedup"),
             F.sum(F.coalesce(F.col("is_contam").cast("int"), F.lit(0)))

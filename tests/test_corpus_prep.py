@@ -29,6 +29,7 @@ def test_corpus_prep_pinned_counts(spark):
         "n_input": 500,
         "n_paras_deduped": 0,  # synth docs are single-paragraph
         "n_after_para": 500,
+        "n_quality_dropped": 0,
         "n_after_dedup": 474,
         "n_contaminated": 225,
         "n_final": 121,
@@ -123,3 +124,31 @@ def test_corpus_prep_scan_bound(spark):
     assert file_scan_count(out["docs"]) == 0
     assert file_scan_count(out["packed"]) == 0
     assert file_scan_count(out["stats"]) == 0
+
+
+def test_corpus_prep_quality_gate(spark):
+    """repetition_max gates Gopher-repetitive docs on the RELEASED text:
+    planted all-duplicate-word docs drop before dedup; with the gate off
+    they survive to the dedup stage."""
+    base = spark.read.parquet(SF_DOCS).where(F.col("doc_id") < 30)
+    spam = spark.createDataFrame(
+        [(1000 + i, "spam " * 40 + f"tail{i}", "en") for i in range(5)],
+        "doc_id bigint, text string, lang string",
+    )
+    docs = base.select("doc_id", "text", "lang").unionByName(spam)
+    bench = docs.limit(0)
+    gated = corpus_prep(
+        docs, bench, rates={}, default_rate=1.0, capacity=1200, n_shards=8,
+        repetition_max={"dup_word_e4": 9000},
+    )
+    st = gated["stats"].collect()[0]
+    # the 5 planted spam docs (dup_word ≈ 0.95) must all gate out;
+    # synthetic base docs may trip it too — assert the floor, not equality
+    assert st.n_input == 35 and st.n_quality_dropped >= 5
+    ids = {r.id for r in gated["docs"].select("id").collect()}
+    assert not any(i >= 1000 for i in ids)
+    # gate off: the spam docs reach (and near-dup among) the dedup stage
+    off = corpus_prep(
+        docs, bench, rates={}, default_rate=1.0, capacity=1200, n_shards=8
+    )["stats"].collect()[0]
+    assert off.n_quality_dropped == 0
