@@ -61,6 +61,7 @@ def streaming_corpus_prep(
     rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
     normalize_form: str | None = None,
+    repetition_max: dict[str, int] | None = None,
     sep: str = "\n",
     num_hashes: int | None = None,
     bands: int | None = None,
@@ -136,6 +137,19 @@ def streaming_corpus_prep(
             .join(docs.select("doc_id", "lang"), "doc_id")
             .localCheckpoint(eager=True)
         )
+
+        # ---- optional Gopher repetition gate (stateless, same contract
+        # as plans/corpus_prep.repetition_max, on the released text)
+        if repetition_max:
+            from ..operators.quality import repetition_signals
+
+            rep = repetition_signals(rebuilt, "doc_id", "text")
+            cond = None
+            for colname, thr in repetition_max.items():
+                c = F.col(colname) >= int(thr)
+                cond = c if cond is None else (cond | c)
+            lowq = rep.where(cond).select(F.col("id").alias("doc_id"))
+            rebuilt = rebuilt.join(lowq, "doc_id", "left_anti")
 
         # ---- incremental near-dup dedup
         bands_df = _dedup.minhash_band_rows(

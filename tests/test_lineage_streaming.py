@@ -411,3 +411,31 @@ def test_streaming_corpus_prep_corpus_scale(spark, tmp_path):
         F.explode(F.split("text", "\n")).alias("p")
     ).where(F.col("p") != "")
     assert paras.count() == paras.distinct().count()
+
+
+def test_streaming_corpus_prep_quality_gate(spark, tmp_path):
+    """repetition_max in the streaming pipeline: planted all-duplicate-
+    word docs never reach the output or the band index."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.streaming.corpus_stream import (
+        streaming_corpus_prep,
+    )
+
+    rows = [(1, " ".join(f"u{i}" for i in range(30)), "en"),
+            (2, "spam " * 40 + "tail", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string").select(
+        "doc_id", "text", "lang",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    indir, out, ckpt, state = (
+        str(tmp_path / d) for d in ("qin", "qout", "qckpt", "qstate")
+    )
+    df.coalesce(1).write.mode("append").parquet(indir)
+    q = streaming_corpus_prep(
+        spark, indir, out, ckpt, state, repetition_max={"dup_word_e4": 9000}
+    )
+    assert q.awaitTermination(240), "streaming query did not finish within 240s"
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids == {1}
+    band_ids = {r.id for r in spark.read.parquet(f"{state}/bands").collect()}
+    assert band_ids == {1}
