@@ -43,11 +43,13 @@ def main():
         default_rate=0.3,
         capacity=1200,
         n_shards=8,
+        repetition_max={"dup_word_e4": 9500},  # Gopher gate, released text
     )
     stats = out["stats"].collect()[0]
     print(
         f"input {stats.n_input} -> para-dedup {stats.n_after_para} "
-        f"(-{stats.n_paras_deduped} paragraphs) -> near-dedup "
+        f"(-{stats.n_paras_deduped} paragraphs) -> quality gate "
+        f"-{stats.n_quality_dropped} -> near-dedup "
         f"{stats.n_after_dedup} -> decontaminated "
         f"{stats.n_after_dedup - stats.n_contaminated} -> sampled "
         f"{stats.n_final} docs"
