@@ -35,6 +35,51 @@ BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
 MAX_SHINGLE_DF = 50
 
 
+def lsh_params_for(
+    j_dup: float,
+    j_safe: float,
+    recall_min: float = 0.95,
+    max_hashes: int = 512,
+) -> tuple[int, int]:
+    """Pick (num_hashes, bands) from the banding curve
+    P[candidate | j] = 1 - (1 - j^r)^b with r = num_hashes / bands:
+    the cheapest signature that still catches ≥ ``recall_min`` of true
+    duplicates at ``j_dup`` while admitting the FEWEST false candidates
+    at ``j_safe`` (the similarity you consider clearly-not-duplicate).
+
+    Selection: among all (r, b) with r·b ≤ max_hashes and
+    P(j_dup) ≥ recall_min, minimize (P(j_safe), r·b) lexicographically —
+    precision first, then signature cost. Deterministic, pure.
+
+    Example: (0.8, 0.3) → the default 8/4 config is NOT returned (it
+    admits ~31% at j=0.3); the tuner lands on a multi-row band that
+    drives that to < 1% — the knob production corpora must turn."""
+    if not (0.0 < j_safe < j_dup < 1.0):
+        raise ValueError(
+            f"lsh_params_for: need 0 < j_safe ({j_safe}) < j_dup ({j_dup}) < 1"
+        )
+    best = None  # (p_safe, n, r, b)
+    for r in range(1, 33):
+        for b in range(1, max_hashes + 1):
+            n = r * b
+            if n > max_hashes:
+                break
+            p_dup = 1.0 - (1.0 - j_dup**r) ** b
+            if p_dup < recall_min:
+                continue
+            p_safe = 1.0 - (1.0 - j_safe**r) ** b
+            cand = (p_safe, n, r, b)
+            if best is None or cand < best:
+                best = cand
+    if best is None:
+        raise ValueError(
+            f"lsh_params_for: no (r, b) with r*b <= {max_hashes} reaches "
+            f"recall {recall_min} at j={j_dup} — raise max_hashes"
+        )
+    _, n, r, b = best
+    return (n, b)
+
+
 def with_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
 ) -> DataFrame:

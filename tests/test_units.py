@@ -780,3 +780,36 @@ def test_sampling_variants(spark):
     assert {tuple(r) for r in per.select("doc_id").collect()} == {
         tuple(r) for r in again.select("doc_id").collect()
     }
+
+
+def test_lsh_params_for():
+    """Auto-tuned banding params: the returned config meets the recall
+    floor at j_dup, admits no more false candidates at j_safe than ANY
+    other config in the budget, and beats the small-scale default 8/4 by
+    orders of magnitude at the j=0.3 non-dup point."""
+    import pytest
+
+    from metadatadocumentparser_spark.operators.dedup import lsh_params_for
+
+    def p(j, r, b):
+        return 1.0 - (1.0 - j**r) ** b
+
+    for j_dup, j_safe, budget in ((0.8, 0.3, 512), (0.9, 0.5, 512), (0.8, 0.3, 64)):
+        nh, b = lsh_params_for(j_dup, j_safe, max_hashes=budget)
+        r = nh // b
+        assert nh == r * b and nh <= budget
+        assert p(j_dup, r, b) >= 0.95
+        # optimal within the budget: no sampled config does better
+        best_safe = p(j_safe, r, b)
+        for r2 in range(1, 33):
+            for b2 in range(1, budget // r2 + 1):
+                if p(j_dup, r2, b2) >= 0.95:
+                    assert best_safe <= p(j_safe, r2, b2) + 1e-15, (r2, b2)
+        # the oracle-checked default admits vastly more false candidates
+        # (≥40× fewer even at the tight 64-hash budget)
+        assert best_safe < p(j_safe, 2, 4) / 40
+
+    with pytest.raises(ValueError, match="raise max_hashes"):
+        lsh_params_for(0.3, 0.1, max_hashes=2)  # 2 hashes can't reach 0.95
+    with pytest.raises(ValueError, match="j_safe"):
+        lsh_params_for(0.3, 0.8)
