@@ -116,3 +116,94 @@ def pack_sequences(
         )
 
     return src.groupBy("shard").applyInPandas(kernel, schema=PACKED_DDL)
+
+
+PACKED_SPLIT_DDL = (
+    "shard int, pack_idx int, pack_id string, "
+    "parts array<struct<id: bigint, part: int, tokens: bigint>>, "
+    "n_parts int, total_tokens bigint"
+)
+
+
+def pack_sequences_split(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    capacity: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """The TRUNCATION policy companion to pack_sequences: documents longer
+    than the capacity are SPLIT into capacity-sized parts first (part i of
+    doc d carries tokens [i·cap, min((i+1)·cap, sz))), so no pack ever
+    exceeds the capacity — the policy used when training consumes fixed
+    windows and long documents simply continue in the next sequence.
+
+    Output parts are (id, part, tokens): every (id, part) appears in
+    exactly one pack; token mass is conserved (Σ part tokens = Σ sz).
+    Same md5 sharding/determinism as pack_sequences; shard keys hash
+    (id, part) so a mega-document's parts spread across shards instead of
+    serializing one task."""
+    cast_id = F.col(id_col).try_cast("bigint")
+    guard = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit("pack_sequences_split: NULL id cannot be packed")),
+        )
+        .when(
+            cast_id.isNull(),
+            F.raise_error(
+                F.lit("pack_sequences_split: non-integral id cannot be packed")
+            ),
+        )
+        .otherwise(cast_id)
+    )
+    sz = F.coalesce(F.col(size_col).cast("bigint"), F.lit(0))
+    parts = df.select(guard.alias("id"), sz.alias("sz")).select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(greatest(ceil(sz / {capacity}.0), 1)) - 1),"
+                f" i -> least(sz - i * {capacity}L, {capacity}L))"
+            )
+        ).alias("part", "tokens"),
+    ).where(F.col("tokens") > 0)
+    # zero-size docs keep one zero-token part so they are never dropped
+    zero = df.select(guard.alias("id"), sz.alias("sz")).where(sz <= 0).select(
+        "id", F.lit(0).alias("part"), F.lit(0).cast("bigint").alias("tokens")
+    )
+    parts = parts.unionByName(zero)
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("id").cast("string"), F.col("part"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    src = parts.select(shard.alias("shard"), "id", "part", "tokens")
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sh = int(key[0])
+        keys = list(zip(pdf["id"].tolist(), pdf["part"].tolist()))
+        packs = _ffd(keys, pdf["tokens"].tolist(), capacity)
+        tok = dict(zip(keys, pdf["tokens"].tolist()))
+        return pd.DataFrame(
+            {
+                "shard": pd.Series([sh] * len(packs), dtype="int32"),
+                "pack_idx": pd.Series(range(len(packs)), dtype="int32"),
+                "pack_id": [f"{sh}-{k}" for k in range(len(packs))],
+                "parts": [
+                    [
+                        {"id": int(i), "part": int(p), "tokens": int(tok[(i, p)])}
+                        for i, p in sorted(pk[0])
+                    ]
+                    for pk in packs
+                ],
+                "n_parts": pd.Series([len(pk[0]) for pk in packs], dtype="int32"),
+                "total_tokens": pd.Series([pk[1] for pk in packs], dtype="int64"),
+            }
+        )
+
+    return src.groupBy("shard").applyInPandas(kernel, schema=PACKED_SPLIT_DDL)

@@ -813,3 +813,39 @@ def test_lsh_params_for():
         lsh_params_for(0.3, 0.1, max_hashes=2)  # 2 hashes can't reach 0.95
     with pytest.raises(ValueError, match="j_safe"):
         lsh_params_for(0.3, 0.8)
+
+
+def test_pack_sequences_split(spark):
+    """Truncation-policy packing: oversize docs split into capacity-sized
+    parts, so NO pack ever exceeds the capacity; every (id, part) lands
+    exactly once; token mass is conserved; zero-size docs keep one
+    zero-token part; deterministic under repartitioning."""
+    from metadatadocumentparser_spark.operators.packing import (
+        pack_sequences_split,
+    )
+
+    cap = 100
+    rows = [(1, 250), (2, 90), (3, 100), (4, 0), (5, 40), (6, 301)]
+    d = spark.createDataFrame(rows, "doc_id bigint, n int")
+    packs = pack_sequences_split(d, "doc_id", "n", capacity=cap, n_shards=4).collect()
+
+    assert all(p.total_tokens <= cap for p in packs)
+    parts = [(q.id, q.part, q.tokens) for p in packs for q in p.parts]
+    keys = [(i, pt) for i, pt, _ in parts]
+    assert len(keys) == len(set(keys))
+    # doc 1 (250) -> parts 100+100+50; doc 6 (301) -> 100*3+1; doc 4 -> one 0-part
+    by_doc = {}
+    for i, pt, t in parts:
+        by_doc.setdefault(i, []).append(t)
+    assert sorted(by_doc[1]) == [50, 100, 100]
+    assert sorted(by_doc[6]) == [1, 100, 100, 100]
+    assert by_doc[4] == [0]
+    assert sum(t for _, _, t in parts) == sum(n for _, n in rows)
+
+    again = pack_sequences_split(
+        d.repartition(7), "doc_id", "n", capacity=cap, n_shards=4
+    ).collect()
+    key = lambda ps: sorted(  # noqa: E731
+        (p.pack_id, tuple((q.id, q.part) for q in p.parts)) for p in ps
+    )
+    assert key(again) == key(packs)
