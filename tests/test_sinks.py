@@ -232,3 +232,33 @@ def test_toon_fallback_quoting_and_json_nulls(spark):
     docs = [json.loads(r.json) for r in j]
     assert all("column_layout" in d for d in docs)
     assert all("title" in d["metadata"] for d in docs)
+
+
+def test_raw_text_sources(spark, tmp_path):
+    """Raw text ingestion: line-grain (ids unique even for duplicate line
+    content, text preserved byte-for-byte) and whole-file grain (one doc
+    per file, parallelism = file count)."""
+    import os
+
+    from metadatadocumentparser_spark.sources.formats import (
+        read_text_lines,
+        read_whole_text_files,
+    )
+
+    d = tmp_path / "raw"
+    os.makedirs(d)
+    (d / "a.txt").write_text("alpha one\nshared line\nshared line\n")
+    (d / "b.txt").write_text("beta\n")
+
+    lines = read_text_lines(spark, str(d)).collect()
+    assert sorted(r.text for r in lines) == [
+        "alpha one", "beta", "shared line", "shared line",
+    ]
+    ids = [r.doc_id for r in lines]
+    assert len(ids) == len(set(ids))  # duplicate CONTENT, distinct ids
+    again = read_text_lines(spark, str(d)).collect()
+    assert {(r.doc_id, r.text) for r in again} == {(r.doc_id, r.text) for r in lines}
+
+    whole = {os.path.basename(r.path): r.text for r in read_whole_text_files(spark, str(d)).collect()}
+    assert whole["a.txt"] == "alpha one\nshared line\nshared line\n"
+    assert whole["b.txt"] == "beta\n"
