@@ -1,0 +1,120 @@
+"""Deterministic subword tokenization — greedy longest-match WordPiece
+(the Wu et al. 2016 inference algorithm; BERT's runtime tokenizer): each
+whitespace word is consumed left-to-right by the LONGEST vocab piece that
+matches, continuation pieces carrying the conventional '##' prefix;
+anything unmatched becomes UNK. This is the id-production step between a
+prepared corpus and sequence packing — pack by REAL token counts, not the
+whitespace heuristic.
+
+Scale shape: a pure mapInPandas projection (zero shuffle); the vocab
+rides the closure broadcast (tens of MB at most — vocabularies are
+bounded by construction, unlike corpora). Greedy matching is exact and
+deterministic: same text + same vocab → same ids on any engine, any
+partitioning (test mirrors it in pure python).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNK = "[UNK]"
+
+
+def _encode_word(word: str, vocab: dict, max_piece: int, unk_id: int) -> list[int]:
+    """Greedy longest-match; one UNK for the whole word if any position
+    cannot match (the WordPiece rule — partial matches are discarded)."""
+    ids, pos, n = [], 0, len(word)
+    while pos < n:
+        prefix = "" if pos == 0 else "##"
+        end = min(n, pos + max_piece)
+        piece_id = None
+        while end > pos:
+            cand = prefix + word[pos:end]
+            if cand in vocab:
+                piece_id = vocab[cand]
+                break
+            end -= 1
+        if piece_id is None:
+            return [unk_id]
+        ids.append(piece_id)
+        pos = end
+    return ids
+
+
+def tokenize_greedy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[str],
+    unk: str = UNK,
+) -> DataFrame:
+    """(id, ids array<int>, n_tokens): WordPiece ids per doc. ``vocab`` is
+    the piece list (index = id); continuation pieces use the '##' prefix;
+    ``unk`` must be present in the vocab."""
+    if unk not in vocab:
+        raise ValueError(f"tokenize_greedy: vocab must contain the unk piece {unk!r}")
+    vmap = {p: i for i, p in enumerate(vocab)}
+    if len(vmap) != len(vocab):
+        raise ValueError("tokenize_greedy: vocab contains duplicate pieces")
+    unk_id = vmap[unk]
+    max_piece = max(len(p) for p in vocab)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids = []
+            for t in pdf["t"]:
+                ids: list[int] = []
+                if isinstance(t, str):
+                    for w in t.split():
+                        ids.extend(_encode_word(w, vmap, max_piece, unk_id))
+                out_ids.append(ids)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "ids": out_ids,
+                    "n_tokens": pd.Series(
+                        [len(x) for x in out_ids], dtype="int64"
+                    ),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    return src.mapInPandas(kernel, schema="id bigint, ids array<int>, n_tokens bigint")
+
+
+def decode_ids(ids: list[int], vocab: list[str]) -> str:
+    """Inverse for round-trip checks: pieces joined, '##' continuations
+    fused to their predecessor."""
+    words: list[str] = []
+    for i in ids:
+        p = vocab[i]
+        if p.startswith("##") and words:
+            words[-1] += p[2:]
+        else:
+            words.append(p)
+    return " ".join(words)
+
+
+def build_char_vocab(df: DataFrame, text_col: str, extra: list[str] | None = None) -> list[str]:
+    """Minimal complete vocabulary: every character observed in the corpus
+    (as start and '##' continuation pieces) + UNK + ``extra`` merges —
+    guarantees no word ever degrades to UNK (the base a BPE-merge list
+    extends). One distinct-aggregation over exploded characters."""
+    chars = [
+        r.c
+        for r in df.select(
+            F.explode(F.split(F.regexp_replace(text_col, r"\s+", ""), "")).alias("c")
+        )
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    ]
+    vocab = [UNK] + sorted(chars) + ["##" + c for c in sorted(chars)]
+    for piece in extra or []:
+        if piece not in vocab:
+            vocab.append(piece)
+    return vocab

@@ -849,3 +849,52 @@ def test_pack_sequences_split(spark):
         (p.pack_id, tuple((q.id, q.part) for q in p.parts)) for p in ps
     )
     assert key(again) == key(packs)
+
+
+def test_tokenize_greedy(spark):
+    """WordPiece greedy longest-match: merges beat characters, whole-word
+    UNK on any unmatched position, decode round-trips when the char vocab
+    is complete, n_tokens feeds packing, deterministic under
+    repartitioning, python mirror exact."""
+    from metadatadocumentparser_spark.operators.tokenize import (
+        _encode_word,
+        build_char_vocab,
+        decode_ids,
+        tokenize_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "unhappy cats"), (2, "zap"), (3, "")], "id bigint, text string"
+    )
+    vocab = ["[UNK]", "un", "##happy", "cat", "##s", "z", "##a", "##p",
+             "u", "##n", "##h", "##y", "happy"]
+    got = {r.id: (list(r.ids), r.n_tokens) for r in
+           tokenize_greedy(docs, "id", "text", vocab).collect()}
+    # 'unhappy' -> un + ##happy (longest match beats u/##n/... chars)
+    assert got[1] == ([1, 2, 3, 4], 4)
+    assert got[2] == ([5, 6, 7], 3)
+    assert got[3] == ([], 0)
+    assert decode_ids(got[1][0], vocab) == "unhappy cats"
+
+    # whole-word UNK: 'dog' has no 'd' piece
+    assert _encode_word("dog", {p: i for i, p in enumerate(vocab)}, 7, 0) == [0]
+
+    # complete char vocab -> zero UNKs over the real corpus; repartition-stable
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cv = build_char_vocab(corpus, "text", extra=["the", "##ing"])
+    toks = tokenize_greedy(corpus, "doc_id", "text", cv)
+    unk_id = cv.index("[UNK]")
+    assert toks.where(F.array_contains("ids", unk_id)).count() == 0
+    a = {r.id: list(r.ids) for r in toks.collect()}
+    b = {r.id: list(r.ids) for r in
+         tokenize_greedy(corpus.repartition(13), "doc_id", "text", cv).collect()}
+    assert a == b
+
+    # python mirror on a sample row
+    vmap = {p: i for i, p in enumerate(cv)}
+    mx = max(len(p) for p in cv)
+    row = corpus.orderBy("doc_id").first()
+    mirror = []
+    for w in row.text.split():
+        mirror.extend(_encode_word(w, vmap, mx, vmap["[UNK]"]))
+    assert mirror == a[row.doc_id]
