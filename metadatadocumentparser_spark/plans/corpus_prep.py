@@ -54,6 +54,7 @@ def corpus_prep(
     bands: int = dedup.BANDS,
     normalize_form: str | None = None,
     repetition_max: dict[str, int] | None = None,
+    vocab: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {"docs": survivors (id, text, strata, n_tokens),
     "packed": pack_sequences output over the survivors,
@@ -152,10 +153,23 @@ def corpus_prep(
     # ---- stage 5: deterministic stratified downsampling
     sampled = stratified_sample(clean, "strata", "id", rates, default_rate)
 
-    # survivors materialize once; packing and stats both read this table
-    survivors = sampled.select(
-        "id", "text", "strata", token_count(F.col("text")).alias("n_tokens")
-    ).localCheckpoint(eager=True)
+    # survivors materialize once; packing and stats both read this table.
+    # With a vocab, n_tokens is the REAL WordPiece count (and survivors
+    # carry the token ids) so packing fills capacity in actual tokens;
+    # without one, the whitespace count stands in.
+    if vocab is not None:
+        from ..operators.tokenize import tokenize_greedy
+
+        survivors = (
+            sampled.select("id", "text", "strata")
+            .join(tokenize_greedy(sampled, "id", "text", vocab), "id")
+            .select("id", "text", "strata", "ids", "n_tokens")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        survivors = sampled.select(
+            "id", "text", "strata", token_count(F.col("text")).alias("n_tokens")
+        ).localCheckpoint(eager=True)
 
     # ---- stage 6: sequence packing (FFD in md5 shards)
     packed = pack_sequences(

@@ -152,3 +152,26 @@ def test_corpus_prep_quality_gate(spark):
         docs, bench, rates={}, default_rate=1.0, capacity=1200, n_shards=8
     )["stats"].collect()[0]
     assert off.n_quality_dropped == 0
+
+
+def test_corpus_prep_with_vocab(spark):
+    """vocab= plugs real WordPiece counts into packing: survivors carry
+    token ids, pack totals equal the summed real counts, and every
+    packed id is a survivor exactly once."""
+    from metadatadocumentparser_spark.operators.tokenize import build_char_vocab
+
+    docs = spark.read.parquet(SF_DOCS)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    cv = build_char_vocab(docs, "text")
+    out = corpus_prep(docs, bench, capacity=1200, n_shards=8, vocab=cv)
+    surv = out["docs"]
+    assert {"ids", "n_tokens"} <= set(surv.columns)
+    # real counts: n_tokens == len(ids) everywhere, no UNKs possible
+    bad = surv.where(F.size("ids") != F.col("n_tokens")).count()
+    assert bad == 0
+    packed = out["packed"].localCheckpoint(eager=True)
+    total_packed = packed.agg(F.sum("total_tokens")).collect()[0][0]
+    total_surv = surv.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_packed == total_surv
+    packed_ids = sorted(i for r in packed.select("ids").collect() for i in r.ids)
+    assert packed_ids == sorted(r.id for r in surv.select("id").collect())
