@@ -118,3 +118,71 @@ def build_char_vocab(df: DataFrame, text_col: str, extra: list[str] | None = Non
         if piece not in vocab:
             vocab.append(piece)
     return vocab
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 200,
+    sample_docs: int = 10_000,
+    id_col: str | None = None,
+) -> list[str]:
+    """Learn ``n_merges`` BPE merge pieces from a DETERMINISTIC corpus
+    sample (the md5-smallest ``sample_docs`` docs — same engine-portable
+    sampling as sampling.sample_fixed) and return them in '##'-aware
+    WordPiece form, ready for ``build_char_vocab(extra=...)``.
+
+    Why sampled-on-driver: BPE training is inherently sequential — each
+    merge changes the pair statistics the next merge counts, so a faithful
+    distributed version is n_merges full corpus passes. Production
+    tokenizers train on a bounded sample anyway (merge ranks stabilize
+    quickly); the driver holds only the sample's word-frequency table.
+    Deterministic: sample, tie-breaks (count desc, pair lexicographic)
+    and merge order are all pure functions of the data."""
+    from collections import Counter
+
+    if id_col is not None:
+        from .sampling import sample_uniform
+
+        src = df.select(F.col(text_col).alias("t"), sample_uniform(F.col(id_col)).alias("u"))
+        rows = src.orderBy("u").limit(sample_docs).collect()
+    else:
+        rows = df.select(F.col(text_col).alias("t")).limit(sample_docs).collect()
+
+    word_freq = Counter()
+    for r in rows:
+        if isinstance(r.t, str):
+            word_freq.update(r.t.split())
+    # symbol sequences per word: first char bare, rest '##'-prefixed
+    seqs = {
+        w: tuple([w[0]] + ["##" + c for c in w[1:]]) for w in word_freq if w
+    }
+    merges: list[str] = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, seq in seqs.items():
+            f = word_freq[w]
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )  # count desc, pair lexicographic
+        if cnt < 2:
+            break
+        merged = a + b[2:] if b.startswith("##") else a + b
+        merges.append(merged)
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges

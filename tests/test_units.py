@@ -898,3 +898,39 @@ def test_tokenize_greedy(spark):
     for w in row.text.split():
         mirror.extend(_encode_word(w, vmap, mx, vmap["[UNK]"]))
     assert mirror == a[row.doc_id]
+
+
+def test_train_bpe_merges(spark):
+    """Sampled BPE training: merges are the most frequent adjacent pairs
+    in rank order, '##'-aware, deterministic, and feeding them into
+    build_char_vocab shrinks the corpus token count vs characters-only."""
+    from metadatadocumentparser_spark.operators.tokenize import (
+        build_char_vocab,
+        tokenize_greedy,
+        train_bpe_merges,
+    )
+
+    toy = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "low lowest new newer")],
+        "doc_id bigint, text string",
+    )
+    merges = train_bpe_merges(toy, "text", n_merges=3, id_col="doc_id")
+    # ('##o','##w') ties ('l','##o') at freq 7; the documented lexicographic
+    # tie-break picks the '#'-lower pair, then l+##ow completes 'low'
+    assert merges[0] == "##ow" and merges[1] == "low"
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = train_bpe_merges(corpus, "text", n_merges=50, id_col="doc_id")
+    assert len(m) == 50 and len(set(m)) == 50
+    assert m == train_bpe_merges(
+        corpus.repartition(17), "text", n_merges=50, id_col="doc_id"
+    )
+    base = build_char_vocab(corpus, "text")
+    better = build_char_vocab(corpus, "text", extra=m)
+    n_base = tokenize_greedy(corpus, "doc_id", "text", base).agg(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+    n_bpe = tokenize_greedy(corpus, "doc_id", "text", better).agg(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+    assert n_bpe < n_base * 0.8, (n_bpe, n_base)  # merges compress ≥20%
