@@ -106,3 +106,14 @@ def test_range_join_no_nlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tokenize_zero_exchange(spark):
+    from metadatadocumentparser_spark.operators.tokenize import (
+        build_char_vocab,
+        tokenize_greedy,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = build_char_vocab(docs.limit(50), "text")
+    assert "Exchange" not in _plan(tokenize_greedy(docs, "doc_id", "text", vocab))
