@@ -207,3 +207,25 @@ def test_misra_gries_merge_guarantee(s1, s2, capacity):
             assert item in m, (item, c)
     for item, c in m.items():
         assert c <= true[item]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=list("abcdeXY09é中 "), max_size=60))
+def test_wordpiece_roundtrip_property(text):
+    """With a complete character vocabulary, greedy WordPiece encoding of
+    ANY text round-trips through decode (modulo whitespace collapse) and
+    never emits UNK."""
+    from metadatadocumentparser_spark.operators.tokenize import (
+        _encode_word,
+        decode_ids,
+    )
+
+    chars = sorted({c for c in text if not c.isspace()})
+    vocab = ["[UNK]"] + chars + ["##" + c for c in chars] + ["ab", "##cd"]
+    vmap = {p: i for i, p in enumerate(vocab)}
+    mx = max(len(p) for p in vocab)
+    ids = []
+    for w in text.split():
+        ids.extend(_encode_word(w, vmap, mx, 0))
+    assert 0 not in ids  # complete char vocab -> no UNK
+    assert decode_ids(ids, vocab) == " ".join(text.split())
