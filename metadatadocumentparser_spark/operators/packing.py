@@ -121,7 +121,7 @@ def pack_sequences(
 PACKED_SPLIT_DDL = (
     "shard int, pack_idx int, pack_id string, "
     "parts array<struct<id: bigint, part: int, tokens: bigint>>, "
-    "n_parts int, total_tokens bigint"
+    "boundaries array<bigint>, n_parts int, total_tokens bigint"
 )
 
 
@@ -199,6 +199,15 @@ def pack_sequences_split(
                         {"id": int(i), "part": int(p), "tokens": int(tok[(i, p)])}
                         for i, p in sorted(pk[0])
                     ]
+                    for pk in packs
+                ],
+                # cumulative token starts per part (0, t0, t0+t1, ...):
+                # the block-diagonal attention-mask boundaries a packed
+                # training loader needs — order matches `parts`
+                "boundaries": [
+                    [int(x) for x in __import__("itertools").accumulate(
+                        [0] + [tok[k2] for k2 in sorted(pk[0])][:-1]
+                    )]
                     for pk in packs
                 ],
                 "n_parts": pd.Series([len(pk[0]) for pk in packs], dtype="int32"),

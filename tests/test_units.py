@@ -842,6 +842,14 @@ def test_pack_sequences_split(spark):
     assert by_doc[4] == [0]
     assert sum(t for _, _, t in parts) == sum(n for _, n in rows)
 
+    # boundaries = cumulative starts aligned with parts
+    for p_ in packs:
+        toks = [q.tokens for q in p_.parts]
+        starts = [0]
+        for t in toks[:-1]:
+            starts.append(starts[-1] + t)
+        assert list(p_.boundaries) == starts
+
     again = pack_sequences_split(
         d.repartition(7), "doc_id", "n", capacity=cap, n_shards=4
     ).collect()
