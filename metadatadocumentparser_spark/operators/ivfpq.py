@@ -129,6 +129,10 @@ def ivfpq_topk(
     # probe sets: n_probe nearest centroids per query (L2 on unit vectors
     # == cosine order), then one ADC table per (query, probed list) from
     # the query's residual against the SHARED codebooks
+    # n_probe > n_list means probe-all; clamp so the (nq, n_probe) probe
+    # matrix and the loops below agree (unclamped, probes has only n_list
+    # columns and range(n_probe) walks off the end)
+    n_probe = min(n_probe, n_list)
     d2c = ((qvs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(d2c, axis=1)[:, :n_probe]  # (nq, n_probe)
     tables = np.zeros((len(qids), n_probe, m, kk))

@@ -101,7 +101,16 @@ def _encode_kernel(books: np.ndarray, normalize: bool = True):
             codes = np.empty((len(pdf), m), dtype="int32")
             for j in range(m):
                 s = vecs[:, j * sub : (j + 1) * sub]
-                d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                # accumulate the squared-diff sum ONE term at a time:
+                # numpy's .sum(axis=) uses pairwise/unrolled summation,
+                # which is not left-associative — near-tie distances could
+                # flip argmin vs the DuckDB oracle's left-assoc `+` chain
+                # (ADVICE r4, low). d2 = ((0 + t0) + t1) + ... matches the
+                # SQL chain exactly (0.0 + t0 == t0 in IEEE754).
+                d2 = np.zeros((len(pdf), books.shape[1]))
+                for t in range(sub):
+                    diff = s[:, t, None] - books[j][None, :, t]
+                    d2 += diff * diff
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
 

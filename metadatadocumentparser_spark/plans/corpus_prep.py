@@ -71,7 +71,12 @@ def corpus_prep(
     text, leave it off for already-clean corpora. The ZERO-file-scan
     bound on the three outputs holds either way (everything downstream
     of the staging checkpoint is unchanged)."""
-    rates = rates or {"en": 0.8, "de": 0.5}
+    # None means "no per-stratum overrides" (every stratum gets
+    # default_rate); an explicit {} must mean the same — `rates or {...}`
+    # would silently substitute demo rates and downsample data the caller
+    # asked to keep (ADVICE r4, high).
+    if rates is None:
+        rates = {}
 
     # ---- stage 0 (optional): unicode canonicalization (flag-free path —
     # one normalize scan + one strata scan, both absorbed by the staging
@@ -212,4 +217,6 @@ def file_scan_count(df: DataFrame) -> int:
     """Number of file-source scans in df's EXECUTED plan — the audit hook
     for the scan-count bound (0 for plans rooted at checkpointed stages)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(plan.count(m) for m in ("FileScan parquet", "Scan parquet"))
+    # single pattern: "FileScan parquet" contains "Scan parquet", so
+    # counting both double-counts every node (ADVICE r4, low)
+    return plan.count("Scan parquet")

@@ -27,9 +27,21 @@ Packing is intentionally absent: FFD bin packing is a batch decision over
 a closed corpus (a pack emitted now could not admit a better-fitting later
 doc) — run operators/packing over the survivor table per training run.
 
-foreachBatch may re-run a batch on failure; outputs and indexes are
-idempotently readable (consumers take DISTINCT on id, the indexes on
-(id, band, bkey) / h).
+foreachBatch may re-run a batch on failure. The three state writes
+(output append, paragraph-index append, band-index append) are not
+atomic, so replay safety cannot rely on "all three happened or none
+did": every index row is tagged with the WRITING batch_id, and each
+batch probes the indexes EXCLUDING its own batch_id's rows. A replay
+after any partial failure therefore recomputes exactly the first
+attempt's survivors (its own half-written state is invisible to it)
+and re-appends them; outputs and indexes are idempotently readable
+(consumers take DISTINCT on id, the indexes on (id, band, bkey) / h —
+duplicate rows from a replayed append don't change semi/anti-join
+semantics). Without the batch_id exclusion, a failure between the
+para-index append and the band-index append would make the replay
+anti-join every paragraph against itself, rebuild all docs empty, and
+permanently lose both the documents and their band-index rows
+(ADVICE r4, medium).
 """
 
 from __future__ import annotations
@@ -72,14 +84,6 @@ def streaming_corpus_prep(
     Output: survivors (doc_id, text, lang) appended to ``output_dir``.
     State: ``state_dir``/paras (h) and ``state_dir``/bands (id, band,
     bkey), both plain parquet."""
-    rates = rates or {}
-    nh = _dedup.NUM_HASHES if num_hashes is None else num_hashes
-    nb = _dedup.BANDS if bands is None else bands
-    sk = _dedup.SHINGLE_K if shingle_k is None else shingle_k
-    sep_re = _java_regex_quote(sep)
-    para_idx_dir = f"{state_dir}/paras"
-    band_idx_dir = f"{state_dir}/bands"
-
     stream = (
         spark.readStream.schema(
             "doc_id bigint, text string, lang string, ts timestamp"
@@ -87,6 +91,51 @@ def streaming_corpus_prep(
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
+    process = make_batch_processor(
+        spark,
+        output_dir,
+        state_dir,
+        rates=rates,
+        default_rate=default_rate,
+        normalize_form=normalize_form,
+        repetition_max=repetition_max,
+        sep=sep,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    )
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def make_batch_processor(
+    spark: SparkSession,
+    output_dir: str,
+    state_dir: str,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    normalize_form: str | None = None,
+    repetition_max: dict[str, int] | None = None,
+    sep: str = "\n",
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_k: int | None = None,
+):
+    """The foreachBatch body as a standalone (batch_df, batch_id) callable
+    — exposed so replay behavior is directly testable (a replay is just
+    calling the processor again with the same batch_id after any prefix
+    of its state writes landed)."""
+    rates = rates or {}
+    nh = _dedup.NUM_HASHES if num_hashes is None else num_hashes
+    nb = _dedup.BANDS if bands is None else bands
+    sk = _dedup.SHINGLE_K if shingle_k is None else shingle_k
+    sep_re = _java_regex_quote(sep)
+    para_idx_dir = f"{state_dir}/paras"
+    band_idx_dir = f"{state_dir}/bands"
 
     def process(batch_df, batch_id: int):
         docs = batch_df.select("doc_id", "text", "lang")
@@ -109,7 +158,13 @@ def streaming_corpus_prep(
         para_idx = _read_or_none(spark, para_idx_dir)
         fresh = p.where(F.col("para") != "")
         if para_idx is not None:
-            fresh = fresh.join(para_idx, "h", "left_anti")
+            # replay safety: a prior FAILED attempt of THIS batch may have
+            # appended its para hashes already — probing them would drop
+            # every paragraph of the batch as "already seen". Exclude own
+            # batch_id rows (legacy untagged indexes have no batch_id col).
+            if "batch_id" in para_idx.columns:
+                para_idx = para_idx.where(F.col("batch_id") != F.lit(batch_id))
+            fresh = fresh.join(para_idx.select("h"), "h", "left_anti")
         keeper = fresh.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
         kept = (
             p.join(keeper, "h", "left")
@@ -157,8 +212,13 @@ def streaming_corpus_prep(
         ).localCheckpoint(eager=True)
         band_idx = _read_or_none(spark, band_idx_dir)
         if band_idx is not None:
+            # same replay-safety exclusion as the paragraph index
+            if "batch_id" in band_idx.columns:
+                band_idx = band_idx.where(F.col("batch_id") != F.lit(batch_id))
             cross_matched = (
-                bands_df.join(band_idx, ["band", "bkey"], "left_semi")
+                bands_df.join(
+                    band_idx.select("band", "bkey"), ["band", "bkey"], "left_semi"
+                )
                 .select("id")
                 .distinct()
             )
@@ -194,16 +254,16 @@ def streaming_corpus_prep(
         # paragraph index gains the batch's KEPT (first-occurrence) hashes;
         # band index gains only SURVIVOR docs' rows (a dropped near-dup's
         # content is represented by the doc it matched)
-        kept.where(F.col("para") != "").select("h").distinct().write.mode(
-            "append"
-        ).parquet(para_idx_dir)
+        # index rows are tagged with the writing batch_id so a replay can
+        # exclude its own earlier (possibly partial) appends — see module
+        # docstring.
+        kept.where(F.col("para") != "").select("h").distinct().withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        ).write.mode("append").parquet(para_idx_dir)
         bands_df.join(
             survivors.select(F.col("doc_id").alias("id")), "id", "left_semi"
-        ).write.mode("append").parquet(band_idx_dir)
+        ).withColumn("batch_id", F.lit(batch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(band_idx_dir)
 
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        return writer.trigger(availableNow=True).start()
-    return writer.start()
+    return process

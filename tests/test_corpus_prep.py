@@ -18,7 +18,11 @@ SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
 def _run(spark):
     docs = spark.read.parquet(SF_DOCS)
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    return corpus_prep(docs, bench, capacity=1200, n_shards=8)
+    # rates passed EXPLICITLY: rates=None/{} means "default_rate for every
+    # stratum" (no magic demo defaults — ADVICE r4 high)
+    return corpus_prep(
+        docs, bench, rates={"en": 0.8, "de": 0.5}, capacity=1200, n_shards=8
+    )
 
 
 def test_corpus_prep_pinned_counts(spark):
@@ -52,6 +56,20 @@ def test_corpus_prep_pinned_counts(spark):
     email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     texts = [r.text for r in out["docs"].select("text").collect()]
     assert not any(email.search(t) for t in texts)
+
+
+def test_corpus_prep_empty_rates_keeps_all(spark):
+    """rates={} (or None) with default_rate=1.0 is KEEP-ALL: every doc
+    surviving dedup+decontamination reaches the output. Regression for
+    the `rates or {...demo...}` bug that silently downsampled en to 0.8
+    when a caller explicitly asked for no overrides (ADVICE r4, high)."""
+    docs = spark.read.parquet(SF_DOCS)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    for rates in ({}, None):
+        stats = corpus_prep(
+            docs, bench, rates=rates, default_rate=1.0, capacity=1200, n_shards=8
+        )["stats"].collect()[0]
+        assert stats.n_final == stats.n_after_dedup - stats.n_contaminated
 
 
 def test_corpus_prep_redacts_before_hashing(spark):

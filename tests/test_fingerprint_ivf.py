@@ -333,6 +333,12 @@ def test_ivfpq(spark):
     assert r8 >= 0.9, r8          # probe-all + rerank ≈ exact
     assert r2 < r8                # probing fewer lists costs recall
 
+    # n_probe > n_list clamps to probe-all instead of IndexError
+    # (ADVICE r4 low): identical results to exactly-n_list probes
+    over = {(r.qid, r.rank, r.nid) for r in ivfpq_topk(bidx, bq, k=5, n_probe=99).collect()}
+    full = {(r.qid, r.rank, r.nid) for r in ivfpq_topk(bidx, bq, k=5, n_probe=4).collect()}
+    assert over == full and len(over) == 20
+
 
 def test_kmeans_pq_nonfinite_guard(spark):
     """NaN/Inf embedding elements fail LOUDLY in k-means and PQ — a

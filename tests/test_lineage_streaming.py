@@ -413,6 +413,105 @@ def test_streaming_corpus_prep_corpus_scale(spark, tmp_path):
     assert paras.count() == paras.distinct().count()
 
 
+def test_streaming_corpus_prep_replay_after_partial_state_write(spark, tmp_path):
+    """foreachBatch replay safety (ADVICE r4 medium): a batch that fails
+    AFTER its paragraph-index append but before its band-index append is
+    re-run by Structured Streaming. The replay must not anti-join the
+    batch's own half-written paragraph hashes (which would rebuild every
+    doc empty, drop them all, and permanently lose their band rows) —
+    index rows are batch_id-tagged and a batch excludes its own rows.
+
+    Scenario: batch 0 completes; batch 1's first attempt dies after the
+    para-index append (simulated by appending exactly the rows it would
+    write); the replay of batch 1 must produce the same survivors as an
+    uninterrupted run."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.streaming.corpus_stream import (
+        make_batch_processor,
+    )
+
+    ba = " ".join(f"a{i}" for i in range(30))
+    bb = " ".join(f"b{i}" for i in range(30))
+    d1 = f"HDR\nalpha {ba} one\nFTR"
+    d2 = f"beta {bb} two"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    out, state = str(tmp_path / "rout"), str(tmp_path / "rstate")
+    process = make_batch_processor(spark, out, state)
+    process(mk([(1, d1, "en")]), 0)
+
+    # ---- simulate batch 1's PARTIAL first attempt: only the para-index
+    # append landed (no PII in d2, so redacted text == text; the rows the
+    # processor would write are the md5s of d2's non-empty paragraphs,
+    # tagged with batch_id=1)
+    mk([(2, d2, "en")]).select(
+        F.explode(F.split("text", "\n")).alias("para")
+    ).where(F.col("para") != "").select(
+        F.md5("para").alias("h"), F.lit(1).cast("bigint").alias("batch_id")
+    ).distinct().write.mode("append").parquet(f"{state}/paras")
+
+    # ---- the replay: doc 2 must survive despite its own hashes being in
+    # the index (pre-fix, it was rebuilt empty and silently lost)
+    process(mk([(2, d2, "en")]), 1)
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
+    assert got == {1: d1, 2: d2}
+    band_ids = {
+        r.id for r in spark.read.parquet(f"{state}/bands").select("id").distinct().collect()
+    }
+    assert band_ids == {1, 2}  # batch 1's band rows were NOT lost
+
+    # ---- a full re-replay (failure after ALL writes) is also idempotent
+    # under distinct: same survivor set, indexes semantically unchanged
+    pre_paras = {r.h for r in spark.read.parquet(f"{state}/paras").collect()}
+    process(mk([(2, d2, "en")]), 1)
+    got2 = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
+    assert got2 == got
+    assert {r.h for r in spark.read.parquet(f"{state}/paras").collect()} == pre_paras
+    # cross-batch state still works AFTER a replay: a later near-dup of
+    # doc 2 is dropped by the band index, an exact re-arrival by the
+    # paragraph index
+    process(mk([(3, d2 + " CHANGED", "en"), (4, d1, "en")]), 2)
+    got3 = {r.doc_id for r in spark.read.parquet(out).distinct().collect()}
+    assert got3 == {1, 2}
+
+
+def test_streaming_corpus_prep_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart across a checkpoint (r4 verdict task #6): a second
+    availableNow run over the SAME input re-processes nothing — survivors
+    identical to the uninterrupted run, zero double-appends to the output
+    or either state index (exact file-row counts, not just distinct)."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.streaming.corpus_stream import (
+        streaming_corpus_prep,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    ).limit(120)
+    indir, out, ckpt, state = (
+        str(tmp_path / d) for d in ("kin", "kout", "kckpt", "kstate")
+    )
+    docs.repartition(2).write.mode("overwrite").parquet(indir)
+
+    q = streaming_corpus_prep(spark, indir, out, ckpt, state)
+    assert q.awaitTermination(300), "streaming query did not finish within 300s"
+    surv1 = sorted((r.doc_id, r.text) for r in spark.read.parquet(out).collect())
+    paras1 = spark.read.parquet(f"{state}/paras").count()
+    bands1 = spark.read.parquet(f"{state}/bands").count()
+
+    # restart with the same checkpoint and no new files: committed batches
+    # are skipped, nothing is appended anywhere
+    q2 = streaming_corpus_prep(spark, indir, out, ckpt, state)
+    assert q2.awaitTermination(300), "streaming query did not finish within 300s"
+    surv2 = sorted((r.doc_id, r.text) for r in spark.read.parquet(out).collect())
+    assert surv2 == surv1
+    assert spark.read.parquet(f"{state}/paras").count() == paras1
+    assert spark.read.parquet(f"{state}/bands").count() == bands1
+
+
 def test_streaming_corpus_prep_quality_gate(spark, tmp_path):
     """repetition_max in the streaming pipeline: planted all-duplicate-
     word docs never reach the output or the band index."""
