@@ -42,9 +42,17 @@ def ivfpq_build(
     m: int = 8,
     k: int = 16,
     max_iter: int = 5,
+    centroids=None,
+    codebooks=None,
 ) -> dict:
     """Returns {"centroids": (n_list, dim), "codebooks": (m, k, dim/m),
-    "codes": DataFrame (id, list_id, codes array<int>)}."""
+    "codes": DataFrame (id, list_id, codes array<int>)}.
+
+    ``centroids`` / ``codebooks``: optional pre-trained (or literal)
+    arrays that skip the corresponding k-means fit — the pattern
+    ivf.ivf_cosine_topk uses. With both given the build is a pure
+    assignment + encode pass, fully mirrorable by a static SQL oracle
+    (the driver row's posture: formula constants, every code pinned)."""
     spark = emb.sparkSession
     # normalized corpus staged once: coarse fit, assignment, residual fit
     # and encode all read it
@@ -56,11 +64,36 @@ def ivfpq_build(
         ).alias("v"),
     ).localCheckpoint(eager=True)
 
-    coarse = kmeans_fit(src, "id", "v", k=n_list, max_iter=max_iter)
-    cents = coarse["centroids"]
-    dim = cents.shape[1]
+    if centroids is None:
+        coarse = kmeans_fit(src, "id", "v", k=n_list, max_iter=max_iter)
+        cents = coarse["centroids"]
+        dim = cents.shape[1]
+        assigned = coarse["assignments"].withColumnRenamed("cluster", "list_id")
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+        n_list, dim = cents.shape
+        cents_b = spark.sparkContext.broadcast(cents)
 
-    assigned = coarse["assignments"].withColumnRenamed("cluster", "list_id")
+        def assign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cc = cents_b.value
+            for pdf in batches:
+                vecs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                ).reshape(len(pdf), dim)
+                # one term at a time: left-assoc accumulation matches the
+                # SQL oracle's literal `+` chain bit-for-bit (numpy's
+                # .sum is pairwise — near-tie lists could flip argmin)
+                d2 = np.zeros((len(pdf), n_list))
+                for t in range(dim):
+                    diff = vecs[:, t, None] - cc[None, :, t]
+                    d2 += diff * diff
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "list_id": d2.argmin(axis=1).astype("int32")}
+                )
+
+        assigned = src.mapInPandas(
+            assign_kernel, schema="id bigint, list_id int"
+        )
     with_res = (
         src.join(assigned, "id")
         .select("id", "list_id", "v")
@@ -82,7 +115,16 @@ def ivfpq_build(
         residual_kernel, schema="id bigint, list_id int, v array<double>"
     ).localCheckpoint(eager=True)
 
-    books = pq_fit(residuals, "id", "v", m=m, k=k, max_iter=max_iter, normalize=False)
+    if codebooks is None:
+        books = pq_fit(
+            residuals, "id", "v", m=m, k=k, max_iter=max_iter, normalize=False
+        )
+    else:
+        books = np.asarray(codebooks, dtype=np.float64)
+        if books.shape != (m, k, dim // m):
+            raise ValueError(
+                f"ivfpq_build: codebooks shape {books.shape} != {(m, k, dim // m)}"
+            )
     books_b = spark.sparkContext.broadcast(books)
     sub = dim // m
 
@@ -95,7 +137,12 @@ def ivfpq_build(
             codes = np.empty((len(pdf), m), dtype="int32")
             for j in range(m):
                 s = vecs[:, j * sub : (j + 1) * sub]
-                d2 = ((s[:, None, :] - bb[j][None, :, :]) ** 2).sum(axis=2)
+                # sequential left-assoc accumulation — same rationale as
+                # pq._encode_kernel (cross-engine argmin determinism)
+                d2 = np.zeros((len(pdf), bb.shape[1]))
+                for t in range(sub):
+                    diff = s[:, t, None] - bb[j][None, :, t]
+                    d2 += diff * diff
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {"id": pdf["id"], "list_id": pdf["list_id"], "codes": list(codes)}
