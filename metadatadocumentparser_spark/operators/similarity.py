@@ -19,6 +19,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Fail-loud ceiling on the broadcast/collected query side of the top-k
+# operators (the MAX_N_LIST pattern, ivf.py): every scored row below the
+# top-k window is |queries| x |corpus|, so an unbounded query side turns
+# the "bounded broadcast" posture into a quadratic blow-up silently. Past
+# the cap, run per-partition top-k + merge: repartition the QUERIES,
+# self-contain each partition's scoring against the corpus, and merge the
+# per-partition top-k heaps — or route through the LSH/IVF paths, which
+# bound candidates structurally.
+MAX_QUERIES = 10_000
+
+
+def _check_query_count(queries: DataFrame, op: str) -> None:
+    """One cheap action: limit(cap+1).count() never scans past the cap."""
+    n = queries.limit(MAX_QUERIES + 1).count()
+    if n > MAX_QUERIES:
+        raise ValueError(
+            f"{op}: query side has > MAX_QUERIES={MAX_QUERIES} rows; "
+            "the broadcast top-k posture assumes a bounded query set — "
+            "split the queries, or use the LSH/IVF paths"
+        )
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -40,7 +61,9 @@ def cosine_topk(
     k: int = 5,
 ) -> DataFrame:
     """For each query row: top-k corpus neighbors by cosine (excluding
-    self), deterministic tiebreak on neighbor id."""
+    self), deterministic tiebreak on neighbor id. Raises when the query
+    side exceeds MAX_QUERIES (see the module constant)."""
+    _check_query_count(queries, "cosine_topk")
     q = F.broadcast(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     )

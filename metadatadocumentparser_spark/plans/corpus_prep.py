@@ -55,6 +55,8 @@ def corpus_prep(
     normalize_form: str | None = None,
     repetition_max: dict[str, int] | None = None,
     vocab: list[str] | None = None,
+    quality_min: float | None = None,
+    quality_model=None,
 ) -> dict[str, DataFrame]:
     """Returns {"docs": survivors (id, text, strata, n_tokens),
     "packed": pack_sequences output over the survivors,
@@ -70,7 +72,13 @@ def corpus_prep(
     extra corpus scan (the strata re-join); turn it on for web-crawl
     text, leave it off for already-clean corpora. The ZERO-file-scan
     bound on the three outputs holds either way (everything downstream
-    of the staging checkpoint is unchanged)."""
+    of the staging checkpoint is unchanged).
+
+    ``quality_min`` / ``quality_model``: optional model-based quality
+    gate (stage 2c) — docs whose quality score (from ``quality_model``,
+    an operators/classifier.TextClassifier, or the built-in heuristic
+    when None) falls below ``quality_min`` are dropped, counted in
+    stats.n_classifier_dropped. Off unless quality_min is set."""
     # None means "no per-stratum overrides" (every stratum gets
     # default_rate); an explicit {} must mean the same — `rates or {...}`
     # would silently substitute demo rates and downsample data the caller
@@ -127,6 +135,22 @@ def corpus_prep(
         base = base.join(lowq, "id", "left_anti")
     else:
         lowq = base.select("id").limit(0).localCheckpoint(eager=True)
+
+    # ---- stage 2c (optional): classifier quality gate on the released
+    # text — the pluggable-model seam (operators/classifier.py); the
+    # heuristic default keeps this stage fully native.
+    if quality_min is not None:
+        from ..operators.classifier import classify_documents
+
+        scored = classify_documents(base, "id", "text", classifier=quality_model)
+        lowc = (
+            scored.where(F.col("quality") < float(quality_min))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        base = base.join(lowc, "id", "left_anti")
+    else:
+        lowc = base.select("id").limit(0).localCheckpoint(eager=True)
 
     # ---- stage 3: whole-doc near-dup dedup (MinHash-LSH → components)
     # the dropped-id list is consumed twice (the filter chain AND the stats
@@ -190,6 +214,7 @@ def corpus_prep(
             (F.col("n_paras") - F.col("n_kept")).alias("paras_dropped"),
         )
         .join(lowq.select("id", F.lit(True).alias("is_lowq")), "id", "left")
+        .join(lowc.select("id", F.lit(True).alias("is_lowc")), "id", "left")
         .join(dupes.select("id", F.lit(True).alias("is_dupe")), "id", "left")
         .join(contaminated.select("id", F.lit(True).alias("is_contam")), "id", "left")
         .join(survivors.select("id", F.lit(True).alias("is_final")), "id", "left")
@@ -199,9 +224,12 @@ def corpus_prep(
             F.sum(F.col("kept_para").cast("int")).cast("bigint").alias("n_after_para"),
             F.sum(F.coalesce(F.col("is_lowq").cast("int"), F.lit(0)))
             .cast("bigint").alias("n_quality_dropped"),
+            F.sum(F.coalesce(F.col("is_lowc").cast("int"), F.lit(0)))
+            .cast("bigint").alias("n_classifier_dropped"),
             (
                 F.sum(F.col("kept_para").cast("int"))
                 - F.sum(F.coalesce(F.col("is_lowq").cast("int"), F.lit(0)))
+                - F.sum(F.coalesce(F.col("is_lowc").cast("int"), F.lit(0)))
                 - F.sum(F.coalesce(F.col("is_dupe").cast("int"), F.lit(0)))
             ).cast("bigint").alias("n_after_dedup"),
             F.sum(F.coalesce(F.col("is_contam").cast("int"), F.lit(0)))

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from metadatadocumentparser_spark.plans import corpus_prep, file_scan_count
@@ -34,6 +35,7 @@ def test_corpus_prep_pinned_counts(spark):
         "n_paras_deduped": 0,  # synth docs are single-paragraph
         "n_after_para": 500,
         "n_quality_dropped": 0,
+        "n_classifier_dropped": 0,
         "n_after_dedup": 474,
         "n_contaminated": 225,
         "n_final": 121,
@@ -70,6 +72,89 @@ def test_corpus_prep_empty_rates_keeps_all(spark):
             docs, bench, rates=rates, default_rate=1.0, capacity=1200, n_shards=8
         )["stats"].collect()[0]
         assert stats.n_final == stats.n_after_dedup - stats.n_contaminated
+
+
+def test_classifier_seam(spark):
+    """operators/classifier.py: the heuristic default evaluates as NATIVE
+    expressions (no Python stage in the plan) and matches docs_textstats'
+    columns; a fake TextClassifier's batch scores flow through the
+    mapInPandas path verbatim."""
+    from metadatadocumentparser_spark.functions import textstats
+    from metadatadocumentparser_spark.operators.classifier import (
+        TextClassifier,
+        classify_documents,
+    )
+
+    docs = spark.read.parquet(SF_DOCS).where(F.col("doc_id") < 50)
+
+    # native path: no Python evaluation nodes in the executed plan
+    nat = classify_documents(docs, "doc_id", "text")
+    plan = nat._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan
+    exp = docs.select(
+        F.col("doc_id").alias("id"),
+        textstats.lang_id(F.col("text")).alias("lang_pred"),
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+    assert sorted(map(tuple, nat.collect())) == sorted(map(tuple, exp.collect()))
+
+    class FakeModel(TextClassifier):
+        def classify(self, texts):
+            return [
+                ("xx" if len(t) % 2 else "en", (len(t) % 10) / 10.0) for t in texts
+            ]
+
+    got = {r.id: (r.lang_pred, r.quality) for r in
+           classify_documents(docs, "doc_id", "text", FakeModel()).collect()}
+    exp2 = {r.doc_id: ("xx" if len(r.text) % 2 else "en", (len(r.text) % 10) / 10.0)
+            for r in docs.collect()}
+    assert got == exp2
+
+    # batch-size contract violation fails loudly
+    class BadModel(TextClassifier):
+        def classify(self, texts):
+            return [("en", 1.0)]
+
+    with pytest.raises(Exception, match="results"):
+        classify_documents(docs, "doc_id", "text", BadModel()).collect()
+
+
+def test_corpus_prep_classifier_gate(spark):
+    """quality_min + quality_model in the fused pipeline: the pipeline
+    consumes EXTERNAL model scores — docs the fake model scores low are
+    dropped (counted in n_classifier_dropped) and never reach packing;
+    the heuristic default gate also runs driver-green."""
+    from metadatadocumentparser_spark.operators.classifier import TextClassifier
+
+    docs = spark.read.parquet(SF_DOCS)
+    bench = docs.limit(0)
+
+    class IdGate(TextClassifier):
+        """Deterministic external scores: quality derived from the text's
+        first token count parity — low for docs whose text length % 3 == 0."""
+
+        def classify(self, texts):
+            return [("en", 0.1 if len(t) % 3 == 0 else 0.9) for t in texts]
+
+    out = corpus_prep(
+        docs, bench, rates={}, default_rate=1.0, capacity=1200, n_shards=8,
+        quality_min=0.5, quality_model=IdGate(),
+    )
+    stats = out["stats"].collect()[0]
+    lens = [len(r.text) for r in docs.select("text").collect()]
+    n_low = sum(1 for x in lens if x % 3 == 0)
+    assert stats.n_classifier_dropped == n_low > 0
+    # dropped docs are absent from survivors and packs
+    surv_ids = {r.id for r in out["docs"].select("id").collect()}
+    low_ids = {r.doc_id for r in docs.collect() if len(r.text) % 3 == 0}
+    assert not (surv_ids & low_ids)
+    # heuristic default (quality_model=None): gate still runs, scores from
+    # the native expressions; a min of 0 keeps everyone
+    st0 = corpus_prep(
+        docs, bench, rates={}, default_rate=1.0, capacity=1200, n_shards=8,
+        quality_min=0.0,
+    )["stats"].collect()[0]
+    assert st0.n_classifier_dropped == 0
 
 
 def test_corpus_prep_redacts_before_hashing(spark):

@@ -3,6 +3,7 @@ recall vs brute force."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from metadatadocumentparser_spark.operators.fingerprint import (
@@ -338,6 +339,42 @@ def test_ivfpq(spark):
     over = {(r.qid, r.rank, r.nid) for r in ivfpq_topk(bidx, bq, k=5, n_probe=99).collect()}
     full = {(r.qid, r.rank, r.nid) for r in ivfpq_topk(bidx, bq, k=5, n_probe=4).collect()}
     assert over == full and len(over) == 20
+
+
+def test_topk_query_side_cap(spark, monkeypatch):
+    """cosine_topk / pq_topk / ivfpq_topk fail LOUDLY when the query side
+    exceeds MAX_QUERIES (r4 verdict task #4) — the broadcast/collect
+    posture assumes a bounded query set; below the cap they run."""
+    import numpy as np
+
+    from metadatadocumentparser_spark.operators import similarity
+    from metadatadocumentparser_spark.operators.pq import pq_topk, pq_encode
+    from metadatadocumentparser_spark.operators.ivfpq import ivfpq_build, ivfpq_topk
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    monkeypatch.setattr(similarity, "MAX_QUERIES", 4)
+
+    with pytest.raises(ValueError, match="MAX_QUERIES"):
+        similarity.cosine_topk(emb, emb, k=2)
+    assert similarity.cosine_topk(emb, emb.limit(3), k=2).count() == 6
+
+    books = np.zeros((2, 4, 4))
+    for j in range(2):
+        for c in range(4):
+            for d in range(4):
+                books[j, c, d] = ((j * 5 + c * 3 + d) % 7 - 3) / 4.0
+    codes = pq_encode(emb, books)
+    with pytest.raises(ValueError, match="MAX_QUERIES"):
+        pq_topk(codes, emb, books, k=2)
+    assert pq_topk(codes, emb.limit(3), books, k=2).count() == 6
+
+    idx = ivfpq_build(emb, n_list=2, m=2, k=4, max_iter=2)
+    with pytest.raises(ValueError, match="MAX_QUERIES"):
+        ivfpq_topk(idx, emb, k=2)
+    assert ivfpq_topk(idx, emb.limit(3), k=2, n_probe=2).count() == 6
 
 
 def test_kmeans_pq_nonfinite_guard(spark):
