@@ -199,23 +199,48 @@ def main():
         repetition_ngram_signals,
     )
 
+    # NOTE (r5 bench-integrity fix): these actions aggregate COMPUTED
+    # columns, never bare .count() — for operators ending in a unique-key
+    # left join or a pure projection, Catalyst ELIMINATES the entire
+    # operator under count() (join elimination + column pruning) and the
+    # timing measures only the scan. r4's paradedup/quantize/gopher
+    # readings had that flaw; see BENCH.md round 5.
     timed(
         "paradedup",
-        lambda: paragraph_dedup(docs, "doc_id", "text").count(),
+        lambda: paragraph_dedup(docs, "doc_id", "text")
+        .agg(F.sum(F.length("text_dedup")), F.sum("n_kept"))
+        .collect(),
     )
     timed(
         "pack_sequences",
         lambda: pack_sequences(
             docs.select("doc_id", F.length("text").alias("sz")), "doc_id", "sz", 1200
-        ).count(),
+        )
+        .agg(F.sum("total_tokens"), F.sum("n_docs"))
+        .collect(),
     )
     timed(
         "quantize",
-        lambda: quantize_embeddings(emb, "vec_id", "embedding").count(),
+        lambda: quantize_embeddings(emb, "vec_id", "embedding")
+        .agg(F.sum("scale"), F.sum(F.aggregate("qvec", F.lit(0), lambda a, x: a + x)))
+        .collect(),
     )
     timed(
         "gopher_ngrams",
-        lambda: repetition_ngram_signals(docs, "doc_id", "text").count(),
+        lambda: repetition_ngram_signals(docs, "doc_id", "text")
+        .agg(F.sum("top_3gram_e4"), F.sum("dup_10gram_e4"))
+        .collect(),
+    )
+    # round-5: exact-substring dedup (Lee et al. remove-all spans)
+    from metadatadocumentparser_spark.operators.substrdedup import (
+        exact_substring_dedup,
+    )
+
+    timed(
+        "substr_dedup",
+        lambda: exact_substring_dedup(docs, "doc_id", "text", k=8)
+        .agg(F.sum(F.length("text_dedup")), F.sum("n_removed"))
+        .collect(),
     )
 
     total = round(sum(v for k, v in timings.items() if k != "cold_first_run_sec"), 3)

@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--capacity", type=int, default=2048)
     p.add_argument("--shards", type=int, default=64)
     p.add_argument("--normalize", default=None, choices=[None, "NFC", "NFKC"])
+    p.add_argument("--substr-k", type=int, default=None,
+                   help="exact-substring dedup window (tokens); off when unset")
+    p.add_argument("--quality-min", type=float, default=None,
+                   help="heuristic quality gate threshold; off when unset")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -71,6 +75,8 @@ def main(argv=None):
         capacity=args.capacity,
         n_shards=args.shards,
         normalize_form=args.normalize,
+        substr_k=args.substr_k,
+        quality_min=args.quality_min,
     )
     out["docs"].write.mode("overwrite").parquet(f"{args.output}/survivors")
     out["packed"].write.mode("overwrite").parquet(f"{args.output}/packed")

@@ -57,6 +57,7 @@ def corpus_prep(
     vocab: list[str] | None = None,
     quality_min: float | None = None,
     quality_model=None,
+    substr_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {"docs": survivors (id, text, strata, n_tokens),
     "packed": pack_sequences output over the survivors,
@@ -78,7 +79,17 @@ def corpus_prep(
     gate (stage 2c) — docs whose quality score (from ``quality_model``,
     an operators/classifier.TextClassifier, or the built-in heuristic
     when None) falls below ``quality_min`` are dropped, counted in
-    stats.n_classifier_dropped. Off unless quality_min is set."""
+    stats.n_classifier_dropped. Off unless quality_min is set.
+
+    ``substr_k``: optional exact-substring span dedup (stage 3b,
+    operators/substrdedup.py — the Lee et al. 2022 ExactSubstr pass):
+    after whole-doc near-dup dedup, every duplicated >= substr_k-token
+    span is cut from ALL its occurrences; stats.n_substr_removed counts
+    the tokens cut. Runs AFTER MinHash on purpose — removing shared
+    spans first would make near-duplicate documents look distinct and
+    defeat the whole-doc stage. NOTE the operator's whitespace contract:
+    with this stage on, every surviving doc's text is re-joined with
+    single spaces. Off by default."""
     # None means "no per-stratum overrides" (every stratum gets
     # default_rate); an explicit {} must mean the same — `rates or {...}`
     # would silently substitute demo rates and downsample data the caller
@@ -166,6 +177,26 @@ def corpus_prep(
     )
     deduped = base.join(dupes, "id", "left_anti")
 
+    # ---- stage 3b (optional): exact-substring span dedup on the
+    # near-dup survivors; fully-duplicated docs empty out and drop here
+    # (counted via the survivor stats, like fully-boilerplate docs)
+    if substr_k is not None:
+        from ..operators.substrdedup import exact_substring_dedup
+
+        sdd = exact_substring_dedup(deduped, "id", "text", k=substr_k)
+        substr_removed = (
+            sdd.agg(F.sum("n_removed").cast("bigint").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        deduped = (
+            sdd.where(F.length("text_dedup") > 0)
+            .select("id", F.col("text_dedup").alias("text"))
+            .join(deduped.select("id", "strata"), "id")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        substr_removed = None
+
     # ---- stage 4: benchmark decontamination (broadcast shingle set);
     # checkpointed for the same consumed-twice reason (also makes the
     # benchmark scan happen exactly once)
@@ -238,6 +269,16 @@ def corpus_prep(
             .cast("bigint").alias("n_final"),
         )
     )
+    if substr_removed is not None:
+        stats = stats.crossJoin(
+            F.broadcast(
+                substr_removed.select(
+                    F.coalesce("n", F.lit(0)).cast("bigint").alias("n_substr_removed")
+                )
+            )
+        )
+    else:
+        stats = stats.withColumn("n_substr_removed", F.lit(0).cast("bigint"))
     return {"docs": survivors, "packed": packed, "stats": stats}
 
 

@@ -39,6 +39,7 @@ def test_corpus_prep_pinned_counts(spark):
         "n_after_dedup": 474,
         "n_contaminated": 225,
         "n_final": 121,
+        "n_substr_removed": 0,
     }
     packed = out["packed"].localCheckpoint(eager=True)
     assert packed.count() == 8
@@ -72,6 +73,40 @@ def test_corpus_prep_empty_rates_keeps_all(spark):
             docs, bench, rates=rates, default_rate=1.0, capacity=1200, n_shards=8
         )["stats"].collect()[0]
         assert stats.n_final == stats.n_after_dedup - stats.n_contaminated
+
+
+def test_corpus_prep_substr_stage(spark):
+    """substr_k: the ExactSubstr pass inside the fused pipeline — a
+    planted cross-doc 12-token run (below the paragraph grain, invisible
+    to paradedup; docs otherwise distinct, invisible to MinHash) is cut
+    from EVERY surviving doc; tokens counted in n_substr_removed; the
+    zero-file-scan bound still holds on all three outputs."""
+    docs = spark.read.parquet(SF_DOCS)
+    run = " ".join(f"pl{i}" for i in range(12))
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" " + run))
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+    bench = docs.limit(0)
+    out = corpus_prep(
+        planted, bench, rates={}, default_rate=1.0, capacity=1200, n_shards=8,
+        substr_k=12,
+    )
+    stats = out["stats"].collect()[0]
+    texts = {r.id: r.text for r in out["docs"].collect()}
+    assert stats.n_substr_removed >= 12 * 50  # many planted copies cut
+    assert not any(run in t for t in texts.values())
+    # control: disabled stage reports 0 and leaves the run in place
+    off = corpus_prep(
+        planted, bench, rates={}, default_rate=1.0, capacity=1200, n_shards=8
+    )
+    assert off["stats"].collect()[0].n_substr_removed == 0
+    assert any(run in r.text for r in off["docs"].collect())
+    for key in ("docs", "packed", "stats"):
+        assert file_scan_count(out[key]) == 0
 
 
 def test_classifier_seam(spark):

@@ -15,7 +15,12 @@ from metadatadocumentparser_spark.operators.ivf import ivf_cosine_topk
 from metadatadocumentparser_spark.operators.similarity import cosine_topk
 from metadatadocumentparser_spark.sources import load_table
 
-SF = "/root/testdata/sf0.001"
+# same env knob as tests/test_queries_oracle.py: the per-round sf0.1
+# replica run (COVERAGE.md) sets MDP_ORACLE_SF so trained-model
+# determinism (k-means, PQ, IVF-PQ) is evidenced at 10x scale too
+import os
+
+SF = os.environ.get("MDP_ORACLE_SF", "/root/testdata/sf0.001")
 
 
 def test_winnow_pure():
