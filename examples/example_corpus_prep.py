@@ -1,8 +1,10 @@
 """Fused corpus-preparation pipeline (plans/corpus_prep.py) — the round-4
 composition of the operator suite in production order:
 
-    redact PII → paragraph (C4 span) dedup → MinHash-LSH whole-doc dedup
-    → benchmark decontamination → stratified downsampling → FFD packing
+    redact PII → paragraph (C4 span) dedup → quality gates (Gopher
+    repetition + pluggable classifier) → MinHash-LSH whole-doc dedup →
+    exact-substring (Lee et al. ExactSubstr) span dedup → benchmark
+    decontamination → stratified downsampling → FFD packing
 
 versus examples/example_training_pipeline.py (which demonstrates each
 operator with a count per stage), this is the fused form a real run uses:
@@ -44,13 +46,19 @@ def main():
         capacity=1200,
         n_shards=8,
         repetition_max={"dup_word_e4": 9500},  # Gopher gate, released text
+        quality_min=0.05,   # classifier gate — heuristic default here;
+                            # pass quality_model=YourTextClassifier() to
+                            # swap in a fastText/DCLM-style scorer
+        substr_k=8,         # ExactSubstr: cut every duplicated >=8-token
+                            # span from ALL its occurrences
     )
     stats = out["stats"].collect()[0]
     print(
         f"input {stats.n_input} -> para-dedup {stats.n_after_para} "
-        f"(-{stats.n_paras_deduped} paragraphs) -> quality gate "
-        f"-{stats.n_quality_dropped} -> near-dedup "
-        f"{stats.n_after_dedup} -> decontaminated "
+        f"(-{stats.n_paras_deduped} paragraphs) -> quality gates "
+        f"-{stats.n_quality_dropped} gopher -{stats.n_classifier_dropped} "
+        f"classifier -> near-dedup {stats.n_after_dedup} -> substr "
+        f"-{stats.n_substr_removed} tokens -> decontaminated "
         f"{stats.n_after_dedup - stats.n_contaminated} -> sampled "
         f"{stats.n_final} docs"
     )

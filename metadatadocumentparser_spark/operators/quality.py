@@ -164,12 +164,16 @@ def repetition_ngram_signals(
     numerator and denominator) — unambiguous under repeated whitespace and
     engine-portable. Docs with < n tokens (or 0 chars) score 0 for that n.
 
-    Plan shape: ONE gram explode for all n (array-side concat of per-n
-    occurrence structs) → one (id, n, gram) partial-aggregated count →
-    coverage explode of only the selected occurrences → one (id, pos)
-    token-length join → pivot-free conditional agg back to doc grain.
-    Every shuffle is keyed by (doc, gram) or (doc, position): linear,
-    skew-free (gram cardinality is bounded by doc length)."""
+    Plan shape (r5 — was 4 shuffles + a corpus-wide token re-explode):
+    ONE gram explode for all n (array-side concat of per-n occurrence
+    structs) → one (id, n, gram) partial-aggregated count → selected
+    occurrences' positions re-aggregated to ONE row per (id, n, signal)
+    → coverage and char mass computed ARRAY-SIDE against the doc's token
+    array (sequence-expand + distinct + length fold — overlaps counted
+    once, exactly the shape the exploded/joined version produced) → one
+    conditional agg back to doc grain. Every shuffle keyed by (doc,
+    gram) or doc: linear, skew-free (gram cardinality bounded by doc
+    length; per-doc position lists bounded by token count)."""
     all_ns = sorted(set(top_ns) | set(dup_ns))
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
@@ -178,9 +182,6 @@ def repetition_ngram_signals(
             "toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ),
     )
-    tok_lens = base.select(
-        "id", F.posexplode("toks").alias("pos", "tok")
-    ).select("id", "pos", F.length("tok").cast("bigint").alias("toklen"))
 
     # one occurrence array for every n: struct(n, pos, gram)
     per_n = [
@@ -208,34 +209,50 @@ def repetition_ngram_signals(
         .agg(F.max(F.struct(w.alias("w"), F.col("g"), F.col("ps"))).alias("t"))
         .select("id", "n", F.lit("top").alias("tag"), F.col("t.ps").alias("ps"))
     )
-    dup_sel = counts.where(
-        F.col("n").isin(list(dup_ns)) & (F.col("c") >= 2)
-    ).select("id", "n", F.lit("dup").alias("tag"), "ps")
+    dup_sel = (
+        counts.where(F.col("n").isin(list(dup_ns)) & (F.col("c") >= 2))
+        .groupBy("id", "n")
+        .agg(F.flatten(F.collect_list("ps")).alias("ps"))
+        .select("id", "n", F.lit("dup").alias("tag"), "ps")
+    )
 
-    covered = (
+    # coverage ARRAY-SIDE: expand each start to its n positions, distinct
+    # (overlaps count a token once), then fold the covered tokens'
+    # lengths from the doc's own token array — no corpus-wide position
+    # explode, no (id, pos) join
+    sel = (
         top_sel.unionByName(dup_sel)
-        .select("id", "n", "tag", F.explode("ps").alias("p0"))
+        .join(base.select("id", "toks"), "id")
         .select(
             "id", "n", "tag",
-            F.explode(F.sequence(F.col("p0"), F.col("p0") + F.col("n") - 1)).alias("pos"),
+            F.aggregate(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "ps",
+                            lambda p0: F.sequence(p0, p0 + F.col("n") - 1),
+                        )
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc
+                + F.length(F.element_at(F.col("toks"), p + 1)),
+            ).alias("chars"),
         )
-        .distinct()
-        .join(tok_lens, ["id", "pos"])
-        .groupBy("id")
-        .agg(
-            *[
-                F.sum(
-                    F.when((F.col("n") == n) & (F.col("tag") == "top"), F.col("toklen"))
-                ).alias(f"_top{n}")
-                for n in top_ns
-            ],
-            *[
-                F.sum(
-                    F.when((F.col("n") == n) & (F.col("tag") == "dup"), F.col("toklen"))
-                ).alias(f"_dup{n}")
-                for n in dup_ns
-            ],
-        )
+    )
+    covered = sel.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("tag") == "top"), F.col("chars"))
+            ).alias(f"_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("tag") == "dup"), F.col("chars"))
+            ).alias(f"_dup{n}")
+            for n in dup_ns
+        ],
     )
     out = base.select("id", "d").join(covered, "id", "left")
     frac = lambda c: F.when(  # noqa: E731

@@ -264,17 +264,24 @@ def test_product_quantization(spark):
     assert out.count() == 20
     assert all(r.qid // per == r.nid // per for r in out.collect())
 
-    # two-stage search on the real synthetic corpus: ADC shortlist-50 +
+    # two-stage search on the real synthetic corpus: ADC shortlist +
     # exact rerank recovers ≥90% of the true cosine top-10 (measured 0.94
-    # at m=16, k=64; deterministic via md5 seeding)
+    # at m=16, k=64, sf0.001; deterministic via md5 seeding). The
+    # shortlist is the recall knob and must GROW with the corpus — a
+    # fixed 50 over the sf0.1 replica's 10× corpus measured 0.84 recall
+    # (correct ANN behavior, not a defect), so the test scales it to the
+    # same 10% corpus fraction the original 50-of-500 represented.
     books2 = pq_fit(emb, m=16, k=64, max_iter=5)
     codes2 = pq_encode(emb, books2)
     q = emb.where(F.col("vec_id") < 10)
+    shortlist = max(50, emb.count() // 10)
     true = {}
     for r in cosine_topk(emb, q, k=10).collect():
         true.setdefault(r.qid, set()).add(r.nid)
     got = {}
-    for r in pq_topk_rerank(codes2, emb, q, books2, k=10, shortlist=50).collect():
+    for r in pq_topk_rerank(
+        codes2, emb, q, books2, k=10, shortlist=shortlist
+    ).collect():
         got.setdefault(r.qid, set()).add(r.nid)
     recall = sum(len(true[x] & got[x]) for x in true) / (10 * len(true))
     assert recall >= 0.9, recall

@@ -42,17 +42,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def replicate(spark, docs, scale: int):
-    if scale <= 1:
-        return docs
-    reps = spark.range(scale).select(F.col("id").cast("int").alias("rep"))
+    # repartition BEFORE the checkpoint: the sf0.1 table is one parquet
+    # file, so the crossJoin inherits ONE partition and every operator's
+    # map side would run on a single core (measured: gopher_ngrams 423 s
+    # at 100x was mostly serialization, not operator cost). A real corpus
+    # at this size arrives in many splits; 64 matches the bench shuffle
+    # partitioning.
+    if scale > 1024:
+        raise ValueError("replicate: scale > 1024 would collide doc ids")
+    reps = spark.range(max(scale, 1)).select(F.col("id").cast("int").alias("rep"))
     return (
         docs.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("doc_id") * 16 + F.col("rep")).alias("doc_id"),
+            # 1024·doc_id + rep: collision-free up to scale 1024 (the
+            # first sweep used ·16 and collided at 100× — one doc's gram
+            # positions joined another doc's token array)
+            (F.col("doc_id") * 1024 + F.col("rep")).alias("doc_id"),
             F.concat(
                 "text", F.lit(" rep"), F.col("rep").cast("string")
             ).alias("text"),
         )
+        .repartition(64)
     )
 
 
