@@ -242,6 +242,25 @@ def main():
         .agg(F.sum(F.length("text_dedup")), F.sum("n_removed"))
         .collect(),
     )
+    # round-5: CCNet-style LM — training (count tables materialize inside
+    # train_ngram_lm) and join-based perplexity scoring, timed separately
+    from metadatadocumentparser_spark.operators.lm import (
+        perplexity_score,
+        train_ngram_lm,
+    )
+
+    lm_model = {}
+
+    def _lm_train():
+        lm_model["m"] = train_ngram_lm(docs, "text", n=3)
+
+    timed("lm_train", _lm_train)
+    timed(
+        "lm_score",
+        lambda: perplexity_score(docs, "doc_id", "text", lm_model["m"])
+        .agg(F.sum("log_ppl"), F.sum("n_tokens"))
+        .collect(),
+    )
 
     total = round(sum(v for k, v in timings.items() if k != "cold_first_run_sec"), 3)
     print(
