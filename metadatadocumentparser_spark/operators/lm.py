@@ -87,12 +87,15 @@ def train_ngram_lm(
         F.explode(F.flatten(F.array(*per_n))).alias("o")
     ).select(F.col("o.k").alias("k"), F.col("o.g").alias("g"))
     counts = grams.groupBy("k", "g").agg(F.count("*").cast("bigint").alias("c"))
-    tables = {}
-    for k in range(1, n + 1):
-        t = counts.where(F.col("k") == k).select("g", "c")
-        if k > 1 and min_count > 1:
-            t = t.where(F.col("c") >= min_count)
-        tables[k] = t.localCheckpoint(eager=True)
+    # prune the higher orders BEFORE the one materialization (order-1 is
+    # never pruned — the OOV floor needs exact N), then slice per-order
+    # views off the single checkpointed table: one action, not n
+    pruned = counts.where(
+        (F.col("k") == 1) | (F.col("c") >= int(min_count))
+    ).localCheckpoint(eager=True)
+    tables = {
+        k: pruned.where(F.col("k") == k).select("g", "c") for k in range(1, n + 1)
+    }
     total = tables[1].agg(F.sum("c")).collect()[0][0] or 0
     return {"n": n, "total": int(total), "counts": tables}
 
