@@ -117,3 +117,38 @@ def test_tokenize_zero_exchange(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     vocab = build_char_vocab(docs.limit(50), "text")
     assert "Exchange" not in _plan(tokenize_greedy(docs, "doc_id", "text", vocab))
+
+
+def test_substr_dedup_plan_shape(spark):
+    """exact_substring_dedup (r5): exactly the audited shape — two hash
+    Exchanges (window-hash h, doc id), no cartesian/NLJ, and the
+    duplicate-hash aggregate + semi-join share one partitioning (a third
+    hash exchange would mean the reuse broke)."""
+    from metadatadocumentparser_spark.operators.substrdedup import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_substring_dedup(docs, "doc_id", "text", k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_lm_score_plan_shape(spark):
+    """perplexity_score (r5): all five count-table probes must stay
+    equi-joins (broadcast or shuffled — never nested-loop), and the
+    per-token gram projection must not re-explode the corpus (no more
+    than the audited two hash exchanges at checkpointed-table scale)."""
+    from metadatadocumentparser_spark.operators.lm import (
+        perplexity_score,
+        train_ngram_lm,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    lm = train_ngram_lm(docs, "text", n=3)
+    plan = _plan(perplexity_score(docs, "doc_id", "text", lm))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
