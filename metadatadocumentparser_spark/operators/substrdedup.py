@@ -53,6 +53,81 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def token_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks, n): the operator's whitespace tokenization (NULL text
+    -> empty array) — shared with the streaming incremental variant."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(text, r"\s+"), lambda t: t != "").alias("toks"),
+    ).withColumn("n", F.size("toks"))
+
+
+def window_hashes(base: DataFrame, k: int) -> DataFrame:
+    """(id, pos, h): md5 of every k-token window (docs shorter than k
+    emit none)."""
+    return (
+        base.where(F.col("n") >= k)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
+            "toks",
+        )
+        .select(
+            "id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))).alias("h"),
+        )
+    )
+
+
+def merge_window_spans(dwin: DataFrame, k: int) -> DataFrame:
+    """(id, spans, n_removed, n_spans): overlapping/adjacent duplicate
+    windows (id, pos) merged into maximal [start, end) token spans via
+    the gap-flag running sum."""
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dwin.withColumn(
+        "newf", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn("grp", F.sum("newf").over(w))
+    return (
+        marked.groupBy("id", "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
+            F.sum(F.col("e") - F.col("s")).cast("bigint").alias("n_removed"),
+            F.count("*").cast("bigint").alias("n_spans"),
+        )
+    )
+
+
+def cut_spans(base: DataFrame, spans: DataFrame) -> DataFrame:
+    """Join spans back and cut them: (id, text_dedup, n_tokens,
+    n_removed, n_spans, spans). Untouched docs skip the filter HOF."""
+    joined = base.join(spans, "id", "left")
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return joined.select(
+        "id",
+        F.when(F.col("spans").isNull(), F.array_join("toks", " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_dedup"),
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0).cast("bigint")).alias("n_removed"),
+        F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+        F.coalesce(
+            "spans", F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+        ).alias("spans"),
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str,
@@ -74,65 +149,8 @@ def exact_substring_dedup(
         raise ValueError(
             f"exact_substring_dedup: min_count must be >= 2, got {min_count}"
         )
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(F.split(text, r"\s+"), lambda t: t != "").alias("toks"),
-    ).withColumn("n", F.size("toks"))
-
-    # ---- duplicate k-windows (corpus-wide)
-    wins = (
-        base.where(F.col("n") >= k)
-        .select(
-            "id",
-            F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
-            "toks",
-        )
-        .select(
-            "id",
-            "pos",
-            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))).alias("h"),
-        )
-    )
+    base = token_base(df, id_col, text_col)
+    wins = window_hashes(base, k)
     dup = wins.groupBy("h").count().where(F.col("count") >= min_count).select("h")
     dwin = wins.join(dup, "h", "left_semi").select("id", "pos")
-
-    # ---- merge overlapping/adjacent windows into maximal spans
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + k).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = dwin.withColumn(
-        "newf", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
-    ).withColumn("grp", F.sum("newf").over(w))
-    spans = (
-        marked.groupBy("id", "grp")
-        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
-        .groupBy("id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
-            F.sum(F.col("e") - F.col("s")).cast("bigint").alias("n_removed"),
-            F.count("*").cast("bigint").alias("n_spans"),
-        )
-    )
-
-    # ---- cut the spans; untouched docs skip the HOF entirely
-    joined = base.join(spans, "id", "left")
-    kept = F.filter(
-        F.col("toks"),
-        lambda t, i: ~F.exists(
-            F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
-        ),
-    )
-    return joined.select(
-        "id",
-        F.when(F.col("spans").isNull(), F.array_join("toks", " "))
-        .otherwise(F.array_join(kept, " "))
-        .alias("text_dedup"),
-        F.col("n").cast("bigint").alias("n_tokens"),
-        F.coalesce("n_removed", F.lit(0).cast("bigint")).alias("n_removed"),
-        F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
-        F.coalesce(
-            "spans", F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
-        ).alias("spans"),
-    )
+    return cut_spans(base, merge_window_spans(dwin, k))

@@ -79,11 +79,16 @@ def streaming_corpus_prep(
     bands: int | None = None,
     shingle_k: int | None = None,
     available_now: bool = True,
+    quality_min: float | None = None,
+    quality_model=None,
+    substr_k: int | None = None,
 ):
     """Input schema: doc_id bigint, text string, lang string, ts timestamp.
     Output: survivors (doc_id, text, lang) appended to ``output_dir``.
-    State: ``state_dir``/paras (h) and ``state_dir``/bands (id, band,
-    bkey), both plain parquet."""
+    State: ``state_dir``/paras (h), ``state_dir``/bands (id, band, bkey)
+    and — with substr_k — ``state_dir``/substr (h), all plain parquet
+    with batch_id tags. quality_min/quality_model/substr_k mirror the
+    batch pipeline's gates (see make_batch_processor)."""
     stream = (
         spark.readStream.schema(
             "doc_id bigint, text string, lang string, ts timestamp"
@@ -103,6 +108,9 @@ def streaming_corpus_prep(
         num_hashes=num_hashes,
         bands=bands,
         shingle_k=shingle_k,
+        quality_min=quality_min,
+        quality_model=quality_model,
+        substr_k=substr_k,
     )
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -124,11 +132,33 @@ def make_batch_processor(
     num_hashes: int | None = None,
     bands: int | None = None,
     shingle_k: int | None = None,
+    quality_min: float | None = None,
+    quality_model=None,
+    substr_k: int | None = None,
 ):
     """The foreachBatch body as a standalone (batch_df, batch_id) callable
     — exposed so replay behavior is directly testable (a replay is just
     calling the processor again with the same batch_id after any prefix
-    of its state writes landed)."""
+    of its state writes landed).
+
+    ``quality_min`` / ``quality_model``: the stateless classifier gate
+    (operators/classifier.py — same contract as the batch pipeline's),
+    applied per microbatch on the released text.
+
+    ``substr_k``: ONLINE exact-substring dedup. The batch operator's
+    remove-all rule is retrospective (it cuts every occurrence,
+    including ones already seen); an online system cannot cut text it
+    already emitted, so the streaming semantic is KEEP-FIRST: a >= k-token
+    span is cut where its windows match the accumulated window-hash
+    index (``state_dir``/substr) or repeat an EARLIER position inside
+    the batch (min (doc, pos) keeper per hash) — the same
+    earliest-occurrence-survives convention the paragraph index uses.
+    The surviving RELEASED text's windows are appended to the index
+    (cut boundaries create new windows; indexing the released form is
+    what makes future arrivals dedup against what was actually
+    emitted). NOTE the operator's whitespace contract: with this stage
+    on, released text is re-joined with single spaces (paragraph
+    separators included)."""
     rates = rates or {}
     nh = _dedup.NUM_HASHES if num_hashes is None else num_hashes
     nb = _dedup.BANDS if bands is None else bands
@@ -136,6 +166,7 @@ def make_batch_processor(
     sep_re = _java_regex_quote(sep)
     para_idx_dir = f"{state_dir}/paras"
     band_idx_dir = f"{state_dir}/bands"
+    substr_idx_dir = f"{state_dir}/substr"
 
     def process(batch_df, batch_id: int):
         docs = batch_df.select("doc_id", "text", "lang")
@@ -206,6 +237,19 @@ def make_batch_processor(
             lowq = rep.where(cond).select(F.col("id").alias("doc_id"))
             rebuilt = rebuilt.join(lowq, "doc_id", "left_anti")
 
+        # ---- optional classifier quality gate (stateless — the batch
+        # pipeline's stage 2c, heuristic default or an external model)
+        if quality_min is not None:
+            from ..operators.classifier import classify_documents
+
+            scored = classify_documents(
+                rebuilt, "doc_id", "text", classifier=quality_model
+            )
+            lowc = scored.where(
+                F.col("quality") < float(quality_min)
+            ).select(F.col("id").alias("doc_id"))
+            rebuilt = rebuilt.join(lowc, "doc_id", "left_anti")
+
         # ---- incremental near-dup dedup
         bands_df = _dedup.minhash_band_rows(
             rebuilt, "doc_id", "text", num_hashes=nh, bands=nb, shingle_k=sk
@@ -244,6 +288,56 @@ def make_batch_processor(
             dropped.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
         )
 
+        # ---- optional ONLINE exact-substring dedup (keep-first — see
+        # the factory docstring); runs after near-dup dedup like the
+        # batch pipeline's stage 3b
+        substr_new_hashes = None
+        if substr_k is not None:
+            from ..operators.substrdedup import (
+                cut_spans,
+                merge_window_spans,
+                token_base,
+                window_hashes,
+            )
+
+            sbase = token_base(survivors, "doc_id", "text").localCheckpoint(
+                eager=True
+            )
+            wins = window_hashes(sbase, substr_k).localCheckpoint(eager=True)
+            sidx = _read_or_none(spark, substr_idx_dir)
+            if sidx is not None:
+                if "batch_id" in sidx.columns:
+                    sidx = sidx.where(F.col("batch_id") != F.lit(batch_id))
+                cross_wins = wins.join(sidx.select("h"), "h", "left_semi").select(
+                    "id", "pos"
+                )
+            else:
+                cross_wins = wins.select("id", "pos").limit(0)
+            # intra-batch: keep the FIRST occurrence (min (id, pos)) of
+            # each duplicated window, cut the rest
+            wkeep = wins.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("k"))
+            intra_wins = (
+                wins.join(wkeep, "h")
+                .where(
+                    (F.col("id") != F.col("k.id")) | (F.col("pos") != F.col("k.pos"))
+                )
+                .select("id", "pos")
+            )
+            dwin = cross_wins.unionByName(intra_wins).distinct()
+            cut = cut_spans(sbase, merge_window_spans(dwin, substr_k))
+            survivors = (
+                cut.where(F.length("text_dedup") > 0)
+                .select(F.col("id").alias("doc_id"), F.col("text_dedup").alias("text"))
+                .join(survivors.select("doc_id", "lang"), "doc_id")
+                .localCheckpoint(eager=True)
+            )
+            # index the RELEASED text's windows (cuts create new windows)
+            substr_new_hashes = (
+                window_hashes(token_base(survivors, "doc_id", "text"), substr_k)
+                .select("h")
+                .distinct()
+            )
+
         # ---- deterministic sampling; then emit + index updates
         sampled = stratified_sample(
             survivors, "lang", "doc_id", rates, default_rate
@@ -265,5 +359,9 @@ def make_batch_processor(
         ).withColumn("batch_id", F.lit(batch_id).cast("bigint")).write.mode(
             "append"
         ).parquet(band_idx_dir)
+        if substr_new_hashes is not None:
+            substr_new_hashes.withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            ).write.mode("append").parquet(substr_idx_dir)
 
     return process

@@ -512,6 +512,65 @@ def test_streaming_corpus_prep_checkpoint_restart(spark, tmp_path):
     assert spark.read.parquet(f"{state}/bands").count() == bands1
 
 
+def test_streaming_corpus_prep_substr_and_classifier(spark, tmp_path):
+    """Round-5 streaming gates. Online exact-substring dedup
+    (keep-first): an intra-batch duplicated run survives at its FIRST
+    (doc, pos) occurrence and is cut everywhere else; a later batch
+    re-sending the same run loses it to the window-hash index; the
+    emitted text of batch 1 is never rewritten. Classifier gate: a fake
+    model's low scores drop docs per microbatch. Replay of a batch
+    after its substr-index append recomputes the same survivors
+    (batch_id exclusion)."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.operators.classifier import TextClassifier
+    from metadatadocumentparser_spark.streaming.corpus_stream import (
+        make_batch_processor,
+    )
+
+    run = " ".join(f"s{i}" for i in range(10))
+    a_body = " ".join(f"a{i}" for i in range(20))
+    b_body = " ".join(f"b{i}" for i in range(20))
+    c_body = " ".join(f"c{i}" for i in range(20))
+    d1 = f"{a_body} {run}"          # first occurrence of the run
+    d2 = f"{b_body} {run}"          # intra-batch duplicate -> cut
+    d3 = f"{c_body} {run}"          # next batch -> cut via the index
+
+    class DropMarked(TextClassifier):
+        def classify(self, texts):
+            return [("en", 0.1 if "DROPME" in t else 0.9) for t in texts]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    out, state = str(tmp_path / "sout"), str(tmp_path / "sstate")
+    process = make_batch_processor(
+        spark, out, state, substr_k=10,
+        quality_min=0.5, quality_model=DropMarked(),
+    )
+    process(mk([(1, d1, "en"), (2, d2, "en"),
+                (3, "junk DROPME " + " ".join(f"x{i}" for i in range(20)), "en")]), 0)
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
+    # doc 1 keeps the run (first occurrence); doc 2 loses exactly it;
+    # doc 3 is classifier-dropped
+    assert set(got) == {1, 2}
+    assert got[1] == d1
+    assert got[2] == b_body
+    # batch 1: the run matches the index and is cut; doc 1's emitted
+    # text is untouched (online keep-first)
+    process(mk([(4, d3, "en")]), 1)
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
+    assert got[4] == c_body and got[1] == d1
+
+    # replay of batch 1 AFTER all its writes (incl. the substr index):
+    # identical survivors, no self-matching
+    process(mk([(4, d3, "en")]), 1)
+    got2 = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
+    assert got2 == got
+    # index holds released-text windows tagged by batch
+    sidx = spark.read.parquet(f"{state}/substr")
+    assert set(sidx.columns) == {"h", "batch_id"}
+
+
 def test_streaming_corpus_prep_quality_gate(spark, tmp_path):
     """repetition_max in the streaming pipeline: planted all-duplicate-
     word docs never reach the output or the band index."""
