@@ -79,4 +79,9 @@ def classify_documents(
                 }
             )
 
-    return src.mapInPandas(kernel, schema="id bigint, lang_pred string, quality double")
+    # id keeps the CALLER'S type — a hardcoded bigint would crash (or
+    # corrupt) string/decimal ids exactly when a model is plugged in
+    id_ddl = src.schema["id"].dataType.simpleString()
+    return src.mapInPandas(
+        kernel, schema=f"id {id_ddl}, lang_pred string, quality double"
+    )

@@ -165,20 +165,13 @@ def ivfpq_topk(
     """(qid, rank, nid, adc_d2): ADC top-k over the probed lists only.
     Queries are collected + broadcast (the bounded side, capped at
     similarity.MAX_QUERIES like pq_topk/cosine_topk)."""
-    from .similarity import MAX_QUERIES
+    from .similarity import collect_queries_capped
 
     cents = np.asarray(index["centroids"], dtype=np.float64)
     books = np.asarray(index["codebooks"], dtype=np.float64)
     n_list, dim = cents.shape
     m, kk, sub = books.shape
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).limit(MAX_QUERIES + 1).collect()
-    if len(q_rows) > MAX_QUERIES:
-        raise ValueError(
-            f"ivfpq_topk: query side has > MAX_QUERIES={MAX_QUERIES} rows; "
-            "split the queries or use per-partition top-k + merge"
-        )
+    q_rows = collect_queries_capped(queries, id_col, vec_col, "ivfpq_topk")
     qids = np.array([r.qid for r in q_rows])
     qvs = _normalize(np.array([r.qv for r in q_rows], dtype=np.float64))
     # probe sets: n_probe nearest centroids per query (L2 on unit vectors

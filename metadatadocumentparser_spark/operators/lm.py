@@ -208,6 +208,11 @@ class LMClassifier(TextClassifier):
     perplexity_score instead."""
 
     def __init__(self, lm: dict):
+        if lm["n"] != 3:
+            raise ValueError(
+                f"LMClassifier: expects an order-3 LM (n=3), got n={lm['n']} "
+                "— same contract as perplexity_score"
+            )
         self.n = lm["n"]
         self.total = lm["total"]
         sizes = {k: t.count() for k, t in lm["counts"].items()}
@@ -238,8 +243,13 @@ class LMClassifier(TextClassifier):
 
     def log_ppl(self, text: str) -> float:
         import math
+        import re
 
-        toks = text.split()
+        # ASCII \s+ — the SAME token boundary as the Spark path's Java
+        # regex (python str.split() also splits on unicode whitespace
+        # like NBSP, which Java \s does not — the two paths would score
+        # web-crawl text differently)
+        toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t]
         if not toks:
             return 0.0
         return sum(-math.log(self._score(toks, i)) for i in range(len(toks))) / len(toks)

@@ -172,18 +172,11 @@ def pq_topk(
     bounded side, same posture as similarity.cosine_topk); the collect is
     capped at similarity.MAX_QUERIES — past that, per-partition top-k +
     merge (see similarity module constant) is the path."""
-    from .similarity import MAX_QUERIES
+    from .similarity import collect_queries_capped
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, kk, sub = books.shape
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).limit(MAX_QUERIES + 1).collect()
-    if len(q_rows) > MAX_QUERIES:
-        raise ValueError(
-            f"pq_topk: query side has > MAX_QUERIES={MAX_QUERIES} rows; "
-            "split the queries or use per-partition top-k + merge"
-        )
+    q_rows = collect_queries_capped(queries, id_col, vec_col, "pq_topk")
     qids = np.array([r.qid for r in q_rows])
     qvs = _normalize(np.array([r.qv for r in q_rows], dtype=np.float64))
     # tables[q, j, c] = ||q_sub_j - books[j, c]||^2

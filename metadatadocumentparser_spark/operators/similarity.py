@@ -41,6 +41,23 @@ def _check_query_count(queries: DataFrame, op: str) -> None:
         )
 
 
+def collect_queries_capped(
+    queries: DataFrame, id_col: str, vec_col: str, op: str
+) -> list:
+    """The ONE capped query-side collect the ADC operators share
+    (pq_topk / ivfpq_topk): limit(cap+1) bounds the driver transfer, the
+    raise names the per-partition top-k + merge path past the cap."""
+    rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).limit(MAX_QUERIES + 1).collect()
+    if len(rows) > MAX_QUERIES:
+        raise ValueError(
+            f"{op}: query side has > MAX_QUERIES={MAX_QUERIES} rows; "
+            "split the queries or use per-partition top-k + merge"
+        )
+    return rows
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -47,7 +47,7 @@ def corpus_prep(
     text_col: str = "text",
     strata_col: str = "lang",
     rates: dict[str, float] | None = None,
-    default_rate: float = 0.3,
+    default_rate: float = 1.0,
     capacity: int = 2048,
     n_shards: int = 64,
     num_hashes: int = dedup.NUM_HASHES,
@@ -93,7 +93,10 @@ def corpus_prep(
     # None means "no per-stratum overrides" (every stratum gets
     # default_rate); an explicit {} must mean the same — `rates or {...}`
     # would silently substitute demo rates and downsample data the caller
-    # asked to keep (ADVICE r4, high).
+    # asked to keep (ADVICE r4, high). default_rate=1.0 for the same
+    # reason: a bare corpus_prep(docs, bench) call must KEEP everything;
+    # downsampling is opt-in (r5 review — 0.3 silently dropped 70% of
+    # every unlisted stratum).
     if rates is None:
         rates = {}
 
@@ -183,7 +186,12 @@ def corpus_prep(
     if substr_k is not None:
         from ..operators.substrdedup import exact_substring_dedup
 
-        sdd = exact_substring_dedup(deduped, "id", "text", k=substr_k)
+        # checkpoint ONCE: sdd is consumed twice (the stats aggregate and
+        # the survivor filter) and is the heaviest new stage — without
+        # this, the whole window/span plan executes twice (r5 review)
+        sdd = exact_substring_dedup(
+            deduped, "id", "text", k=substr_k
+        ).select("id", "text_dedup", "n_removed").localCheckpoint(eager=True)
         substr_removed = (
             sdd.agg(F.sum("n_removed").cast("bigint").alias("n"))
             .localCheckpoint(eager=True)

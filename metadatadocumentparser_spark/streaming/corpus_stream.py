@@ -111,6 +111,7 @@ def streaming_corpus_prep(
         quality_min=quality_min,
         quality_model=quality_model,
         substr_k=substr_k,
+        lineage=checkpoint_dir,
     )
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -135,6 +136,7 @@ def make_batch_processor(
     quality_min: float | None = None,
     quality_model=None,
     substr_k: int | None = None,
+    lineage: str | None = None,
 ):
     """The foreachBatch body as a standalone (batch_df, batch_id) callable
     — exposed so replay behavior is directly testable (a replay is just
@@ -153,13 +155,34 @@ def make_batch_processor(
     index (``state_dir``/substr) or repeat an EARLIER position inside
     the batch (min (doc, pos) keeper per hash) — the same
     earliest-occurrence-survives convention the paragraph index uses.
-    The surviving RELEASED text's windows are appended to the index
-    (cut boundaries create new windows; indexing the released form is
-    what makes future arrivals dedup against what was actually
-    emitted). NOTE the operator's whitespace contract: with this stage
-    on, released text is re-joined with single spaces (paragraph
-    separators included)."""
+    The RELEASED (post-sampling) text's windows are appended to the
+    index — cut boundaries create new windows, and indexing the
+    released form is what makes future arrivals dedup against what was
+    actually EMITTED (indexing pre-sampling survivors would cut future
+    text against content that never reached the output — permanent loss;
+    the para/band indexes intentionally index pre-sampling "seen"
+    content instead, because dropping a redundant DOC loses nothing,
+    while cutting a span destroys bytes). NOTE the operator's whitespace
+    contract: with this stage on, released text is re-joined with single
+    spaces (paragraph separators included).
+
+    ``lineage``: identifier of the CHECKPOINT LINEAGE this state_dir
+    belongs to (streaming_corpus_prep passes its checkpoint_dir). The
+    batch_id replay exclusion is only sound within one checkpoint's
+    batch numbering — a restart with a FRESH checkpoint but a reused
+    state_dir restarts batch ids at 0, and batch 0 would silently
+    exclude (i.e. ignore) everything the old run's batch 0 indexed
+    (r5 review). The first batch records the lineage in
+    ``state_dir``/lineage; a mismatch raises instead of corrupting
+    dedup state. None (direct/test use) skips the check."""
     rates = rates or {}
+    if substr_k is not None and substr_k < 1:
+        # window_hashes would hash the empty slice for EVERY position
+        # (all windows identical) and keep-first would gut the corpus —
+        # same guard as the batch operator, which this path bypasses
+        raise ValueError(
+            f"make_batch_processor: substr_k must be >= 1, got {substr_k}"
+        )
     nh = _dedup.NUM_HASHES if num_hashes is None else num_hashes
     nb = _dedup.BANDS if bands is None else bands
     sk = _dedup.SHINGLE_K if shingle_k is None else shingle_k
@@ -167,6 +190,23 @@ def make_batch_processor(
     para_idx_dir = f"{state_dir}/paras"
     band_idx_dir = f"{state_dir}/bands"
     substr_idx_dir = f"{state_dir}/substr"
+    lineage_dir = f"{state_dir}/lineage"
+    if lineage is not None:
+        existing = _read_or_none(spark, lineage_dir)
+        if existing is not None:
+            rows = existing.limit(1).collect()
+            if rows and rows[0].lineage != lineage:
+                raise ValueError(
+                    f"state_dir {state_dir!r} belongs to checkpoint lineage "
+                    f"{rows[0].lineage!r}, not {lineage!r} — batch-id replay "
+                    "exclusion would silently ignore the old run's indexed "
+                    "state. Reuse the original checkpoint_dir, or start a "
+                    "fresh state_dir."
+                )
+        else:
+            spark.createDataFrame(
+                [(lineage,)], "lineage string"
+            ).coalesce(1).write.mode("overwrite").parquet(lineage_dir)
 
     def process(batch_df, batch_id: int):
         docs = batch_df.select("doc_id", "text", "lang")
@@ -291,7 +331,6 @@ def make_batch_processor(
         # ---- optional ONLINE exact-substring dedup (keep-first — see
         # the factory docstring); runs after near-dup dedup like the
         # batch pipeline's stage 3b
-        substr_new_hashes = None
         if substr_k is not None:
             from ..operators.substrdedup import (
                 cut_spans,
@@ -331,12 +370,6 @@ def make_batch_processor(
                 .join(survivors.select("doc_id", "lang"), "doc_id")
                 .localCheckpoint(eager=True)
             )
-            # index the RELEASED text's windows (cuts create new windows)
-            substr_new_hashes = (
-                window_hashes(token_base(survivors, "doc_id", "text"), substr_k)
-                .select("h")
-                .distinct()
-            )
 
         # ---- deterministic sampling; then emit + index updates
         sampled = stratified_sample(
@@ -359,8 +392,15 @@ def make_batch_processor(
         ).withColumn("batch_id", F.lit(batch_id).cast("bigint")).write.mode(
             "append"
         ).parquet(band_idx_dir)
-        if substr_new_hashes is not None:
-            substr_new_hashes.withColumn(
+        if substr_k is not None:
+            from ..operators.substrdedup import token_base as _tb
+            from ..operators.substrdedup import window_hashes as _wh
+
+            # index the EMITTED (post-sampling) text's windows only —
+            # see the factory docstring for why not pre-sampling
+            _wh(_tb(sampled, "doc_id", "text"), substr_k).select(
+                "h"
+            ).distinct().withColumn(
                 "batch_id", F.lit(batch_id).cast("bigint")
             ).write.mode("append").parquet(substr_idx_dir)
 

@@ -19,10 +19,12 @@ SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
 def _run(spark):
     docs = spark.read.parquet(SF_DOCS)
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    # rates passed EXPLICITLY: rates=None/{} means "default_rate for every
-    # stratum" (no magic demo defaults — ADVICE r4 high)
+    # rates AND default_rate passed EXPLICITLY: rates=None/{} means
+    # "default_rate for every stratum" and default_rate defaults to 1.0
+    # (keep-all — downsampling is opt-in; no magic demo defaults)
     return corpus_prep(
-        docs, bench, rates={"en": 0.8, "de": 0.5}, capacity=1200, n_shards=8
+        docs, bench, rates={"en": 0.8, "de": 0.5}, default_rate=0.3,
+        capacity=1200, n_shards=8,
     )
 
 
@@ -152,6 +154,16 @@ def test_classifier_seam(spark):
 
     with pytest.raises(Exception, match="results"):
         classify_documents(docs, "doc_id", "text", BadModel()).collect()
+
+    # non-bigint id columns survive the model path (r5 review: the
+    # mapInPandas schema used to hardcode 'id bigint')
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    srows = classify_documents(sdocs, "doc_id", "text", FakeModel()).collect()
+    assert len(srows) == docs.count()
+    assert all(r.id.startswith("doc-") for r in srows)
 
 
 def test_corpus_prep_classifier_gate(spark):

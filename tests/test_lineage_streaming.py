@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from metadatadocumentparser_spark import synth
@@ -569,6 +570,67 @@ def test_streaming_corpus_prep_substr_and_classifier(spark, tmp_path):
     # index holds released-text windows tagged by batch
     sidx = spark.read.parquet(f"{state}/substr")
     assert set(sidx.columns) == {"h", "batch_id"}
+
+
+def test_streaming_corpus_prep_r5_review_guards(spark, tmp_path):
+    """r5 review regressions: (a) substr_k=0 raises instead of gutting
+    the corpus; (b) the substr index holds only EMITTED text — a doc
+    dropped by sampling leaves no window hashes, so its text re-arriving
+    later is released intact; (c) a state_dir reused under a different
+    checkpoint lineage raises instead of silently ignoring old state."""
+    from pyspark.sql import functions as F
+    from metadatadocumentparser_spark.streaming.corpus_stream import (
+        make_batch_processor,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    body = " ".join(f"g{i}" for i in range(20))
+
+    # (a) fail-loud window size
+    with pytest.raises(ValueError, match="substr_k"):
+        make_batch_processor(spark, str(tmp_path / "x"), str(tmp_path / "xs"),
+                             substr_k=0)
+
+    # (b) emitted-only SUBSTR indexing: batch 0's doc shares a 10-token
+    # run with later docs but is sampled OUT (never emitted). Its run
+    # must NOT enter the substr index (the paragraph/band indexes
+    # intentionally track pre-sampling SEEN content — batch-consistent
+    # dedup — but a span cut destroys bytes, so spans only dedup
+    # against EMITTED text). Paragraphs are distinct (unique bodies) so
+    # the para index never fires here.
+    run = " ".join(f"r{i}" for i in range(10))
+    x = " ".join(f"x{i}" for i in range(30))
+    y = " ".join(f"y{i}" for i in range(30))
+    z = " ".join(f"z{i}" for i in range(30))
+    out, state = str(tmp_path / "eout"), str(tmp_path / "estate")
+    drop_all = make_batch_processor(spark, out, state, substr_k=10,
+                                    default_rate=0.0)
+    drop_all(mk([(1, f"{run} {x}", "en")]), 0)
+    from pyspark.errors import AnalysisException
+    try:
+        n_idx = spark.read.parquet(f"{state}/substr").count()
+    except AnalysisException:
+        n_idx = 0
+    assert n_idx == 0  # nothing emitted -> nothing substr-indexed
+    keep_all = make_batch_processor(spark, out, state, substr_k=10,
+                                    default_rate=1.0)
+    keep_all(mk([(2, f"{run} {y}", "en")]), 1)
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
+    assert got == {2: f"{run} {y}"}  # intact — not cut against lost text
+    # doc 2 WAS emitted, so its run is now indexed: doc 3 loses it
+    keep_all(mk([(3, f"{run} {z}", "en")]), 2)
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
+    assert got[3] == z
+
+    # (c) lineage mismatch
+    lstate = str(tmp_path / "lstate")
+    make_batch_processor(spark, out, lstate, lineage="ckpt-A")
+    with pytest.raises(ValueError, match="lineage"):
+        make_batch_processor(spark, out, lstate, lineage="ckpt-B")
+    # same lineage re-attaches fine
+    make_batch_processor(spark, out, lstate, lineage="ckpt-A")
 
 
 def test_streaming_corpus_prep_quality_gate(spark, tmp_path):

@@ -134,11 +134,25 @@ def test_lm_classifier_gate_in_corpus_prep(spark, corpus, lm):
 
 
 def test_lm_guards(spark, corpus, lm, monkeypatch):
-    """MAX_LM_ENTRIES fail-loud; zero-token docs score 0.0; n guard."""
+    """MAX_LM_ENTRIES fail-loud; zero-token docs score 0.0; n guard;
+    order-3 contract enforced at LMClassifier construction (r5 review:
+    an n=2 model used to KeyError mid-scoring); non-ASCII whitespace
+    tokenizes identically on the python and Spark paths (r5 review:
+    str.split also splits NBSP, Java \\s does not)."""
     monkeypatch.setattr(lmod, "MAX_LM_ENTRIES", 10)
     with pytest.raises(ValueError, match="MAX_LM_ENTRIES"):
         LMClassifier(lm)
     monkeypatch.undo()
+    with pytest.raises(ValueError, match="order-3"):
+        LMClassifier(train_ngram_lm(corpus.limit(20), "text", n=2))
+    # NBSP inside a "word": one token on BOTH paths
+    nb = spark.createDataFrame(
+        [(1, "the\u00a0fast key order")], "doc_id bigint, text string"
+    )
+    sp = perplexity_score(nb, "doc_id", "text", lm).collect()[0]
+    cls = LMClassifier(lm)
+    assert sp.n_tokens == 3
+    assert abs(sp.log_ppl - cls.log_ppl("the\u00a0fast key order")) < 1e-9
     empty = spark.createDataFrame([(1, ""), (2, None)], "doc_id bigint, text string")
     got = {r.id: (r.n_tokens, r.log_ppl)
            for r in perplexity_score(empty, "doc_id", "text", lm).collect()}
