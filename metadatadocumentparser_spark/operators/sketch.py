@@ -37,8 +37,12 @@ def kmv_distinct_estimate(
     count when fewer than k distinct hashes exist (the standard KMV rule:
     with < k values the sketch IS the exact distinct set)."""
     u = kmv_hash(F.col(value_col)).alias("u")
+    # NULL values hash to NULL, which sorts FIRST (ASC NULLS FIRST) —
+    # unfiltered, a NULL occupies a top-k slot, is counted by n_kept but
+    # skipped by max(u), biasing the estimate (r5 review). A NULL is not
+    # a value; it is excluded from the cardinality.
     if by is None:
-        hashes = df.select(u).distinct()
+        hashes = df.select(u).where(F.col("u").isNotNull()).distinct()
         topk = hashes.orderBy("u").limit(k)
         agg = topk.agg(F.count("*").alias("n_kept"), F.max("u").alias("uk"))
         est = F.when(
@@ -48,7 +52,11 @@ def kmv_distinct_estimate(
             F.floor(est * 100.0 + 0.5).cast("bigint").alias("est_distinct_e2"),
             F.col("n_kept").cast("bigint").alias("n_kept"),
         )
-    hashes = df.select(F.col(by).alias("grp"), u).distinct()
+    hashes = (
+        df.select(F.col(by).alias("grp"), u)
+        .where(F.col("u").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy("grp").orderBy("u")
     topk = hashes.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
     agg = topk.groupBy("grp").agg(F.count("*").alias("n_kept"), F.max("u").alias("uk"))
@@ -114,7 +122,6 @@ def heavy_hitters_exact(
     1000 covers any item above 0.1% frequency). Items rarer than the
     bound can be missed BY DESIGN — that is the memory/completeness trade
     every production heavy-hitters pass makes."""
-    sc = df.sparkSession.sparkContext
 
     def part_sketch(rows):
         yield _mg_partition((r[0] for r in rows), capacity)
@@ -124,7 +131,11 @@ def heavy_hitters_exact(
     for s in sketches:
         merged = _mg_merge(merged, s, capacity)
     if not merged:
-        return df.sparkSession.createDataFrame([], "value string, cnt bigint")
+        # preserve the input column's TYPE on the empty path too — a
+        # hardcoded string schema would make the output schema depend on
+        # the data (r5 review)
+        vtype = df.schema[value_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame([], f"value {vtype}, cnt bigint")
     candidates = list(merged.keys())
     exact = (
         df.select(F.col(value_col).alias("value"))

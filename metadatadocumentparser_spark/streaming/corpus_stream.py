@@ -59,7 +59,11 @@ def _read_or_none(spark: SparkSession, path: str):
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path)
+        # mergeSchema: a state dir upgraded mid-life holds legacy files
+        # without batch_id next to tagged ones — schema must come from
+        # the UNION of footers, or which file Spark samples decides
+        # whether the batch_id column (and the replay exclusion) exists
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException:  # PATH_NOT_FOUND on the very first batch
         return None
 
@@ -155,16 +159,22 @@ def make_batch_processor(
     index (``state_dir``/substr) or repeat an EARLIER position inside
     the batch (min (doc, pos) keeper per hash) — the same
     earliest-occurrence-survives convention the paragraph index uses.
-    The RELEASED (post-sampling) text's windows are appended to the
-    index — cut boundaries create new windows, and indexing the
-    released form is what makes future arrivals dedup against what was
-    actually EMITTED (indexing pre-sampling survivors would cut future
-    text against content that never reached the output — permanent loss;
-    the para/band indexes intentionally index pre-sampling "seen"
-    content instead, because dropping a redundant DOC loses nothing,
-    while cutting a span destroys bytes). NOTE the operator's whitespace
-    contract: with this stage on, released text is re-joined with single
-    spaces (paragraph separators included).
+    The whole stage runs on the POST-SAMPLING set (sampling decides on
+    ids only), so both the intra-batch keeper and every indexed window
+    belong to documents that are actually emitted — a keeper that
+    sampling then dropped would have released the span in no document
+    at all (r5 review). The para/band indexes intentionally keep the
+    broader pre-gate/pre-sampling "seen corpus" semantics instead: that
+    is exactly what the BATCH pipeline computes (paragraph dedup and
+    MinHash run over the full corpus before any gate or sampling), so
+    the online run converges to the batch result; the cost — a
+    paragraph whose first occurrence was later gated/sampled away stays
+    deduped everywhere — is inherent to dedup-before-sample and is the
+    published C4 ordering, accepted for doc/paragraph grain but NOT for
+    span cuts (which mangle documents rather than drop redundant
+    units). NOTE the operator's whitespace contract: with this stage
+    on, released text is re-joined with single spaces (paragraph
+    separators included).
 
     ``lineage``: identifier of the CHECKPOINT LINEAGE this state_dir
     belongs to (streaming_corpus_prep passes its checkpoint_dir). The
@@ -191,7 +201,12 @@ def make_batch_processor(
     band_idx_dir = f"{state_dir}/bands"
     substr_idx_dir = f"{state_dir}/substr"
     lineage_dir = f"{state_dir}/lineage"
-    if lineage is not None:
+    lineage_ok = {"checked": False}
+
+    def _check_lineage(write: bool):
+        """Mismatch raises; the marker itself is only WRITTEN at the end
+        of a successful batch (a run that dies before processing
+        anything must not permanently claim an empty state_dir)."""
         existing = _read_or_none(spark, lineage_dir)
         if existing is not None:
             rows = existing.limit(1).collect()
@@ -203,10 +218,15 @@ def make_batch_processor(
                     "state. Reuse the original checkpoint_dir, or start a "
                     "fresh state_dir."
                 )
-        else:
+            lineage_ok["checked"] = True
+        elif write:
             spark.createDataFrame(
                 [(lineage,)], "lineage string"
             ).coalesce(1).write.mode("overwrite").parquet(lineage_dir)
+            lineage_ok["checked"] = True
+
+    if lineage is not None:
+        _check_lineage(write=False)  # fail fast on an obvious mismatch
 
     def process(batch_df, batch_id: int):
         docs = batch_df.select("doc_id", "text", "lang")
@@ -234,7 +254,7 @@ def make_batch_processor(
             # every paragraph of the batch as "already seen". Exclude own
             # batch_id rows (legacy untagged indexes have no batch_id col).
             if "batch_id" in para_idx.columns:
-                para_idx = para_idx.where(F.col("batch_id") != F.lit(batch_id))
+                para_idx = para_idx.where(~F.col("batch_id").eqNullSafe(F.lit(batch_id)))
             fresh = fresh.join(para_idx.select("h"), "h", "left_anti")
         keeper = fresh.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
         kept = (
@@ -298,7 +318,7 @@ def make_batch_processor(
         if band_idx is not None:
             # same replay-safety exclusion as the paragraph index
             if "batch_id" in band_idx.columns:
-                band_idx = band_idx.where(F.col("batch_id") != F.lit(batch_id))
+                band_idx = band_idx.where(~F.col("batch_id").eqNullSafe(F.lit(batch_id)))
             cross_matched = (
                 bands_df.join(
                     band_idx.select("band", "bkey"), ["band", "bkey"], "left_semi"
@@ -328,9 +348,17 @@ def make_batch_processor(
             dropped.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
         )
 
+        # ---- deterministic sampling BEFORE the substring cut: sampling
+        # decides on ids only, and the keep-first keeper of a duplicated
+        # span must be a doc that is actually EMITTED — electing a
+        # keeper that sampling then drops would release the span in no
+        # document at all (r5 review)
+        sampled = stratified_sample(
+            survivors, "lang", "doc_id", rates, default_rate
+        ).localCheckpoint(eager=True)
+
         # ---- optional ONLINE exact-substring dedup (keep-first — see
-        # the factory docstring); runs after near-dup dedup like the
-        # batch pipeline's stage 3b
+        # the factory docstring) over the emitted set only
         if substr_k is not None:
             from ..operators.substrdedup import (
                 cut_spans,
@@ -339,14 +367,14 @@ def make_batch_processor(
                 window_hashes,
             )
 
-            sbase = token_base(survivors, "doc_id", "text").localCheckpoint(
+            sbase = token_base(sampled, "doc_id", "text").localCheckpoint(
                 eager=True
             )
             wins = window_hashes(sbase, substr_k).localCheckpoint(eager=True)
             sidx = _read_or_none(spark, substr_idx_dir)
             if sidx is not None:
                 if "batch_id" in sidx.columns:
-                    sidx = sidx.where(F.col("batch_id") != F.lit(batch_id))
+                    sidx = sidx.where(~F.col("batch_id").eqNullSafe(F.lit(batch_id)))
                 cross_wins = wins.join(sidx.select("h"), "h", "left_semi").select(
                     "id", "pos"
                 )
@@ -364,17 +392,14 @@ def make_batch_processor(
             )
             dwin = cross_wins.unionByName(intra_wins).distinct()
             cut = cut_spans(sbase, merge_window_spans(dwin, substr_k))
-            survivors = (
+            sampled = (
                 cut.where(F.length("text_dedup") > 0)
                 .select(F.col("id").alias("doc_id"), F.col("text_dedup").alias("text"))
-                .join(survivors.select("doc_id", "lang"), "doc_id")
+                .join(sampled.select("doc_id", "lang"), "doc_id")
                 .localCheckpoint(eager=True)
             )
 
-        # ---- deterministic sampling; then emit + index updates
-        sampled = stratified_sample(
-            survivors, "lang", "doc_id", rates, default_rate
-        ).localCheckpoint(eager=True)
+        # ---- emit + index updates
         sampled.select("doc_id", "text", "lang").write.mode("append").parquet(
             output_dir
         )
@@ -393,15 +418,18 @@ def make_batch_processor(
             "append"
         ).parquet(band_idx_dir)
         if substr_k is not None:
-            from ..operators.substrdedup import token_base as _tb
-            from ..operators.substrdedup import window_hashes as _wh
-
-            # index the EMITTED (post-sampling) text's windows only —
-            # see the factory docstring for why not pre-sampling
-            _wh(_tb(sampled, "doc_id", "text"), substr_k).select(
-                "h"
-            ).distinct().withColumn(
+            # index the EMITTED text's windows only — see the factory
+            # docstring for why not pre-sampling (the stage above ran on
+            # the sampled set, so these are the released docs' windows
+            # after their own cuts)
+            window_hashes(
+                token_base(sampled, "doc_id", "text"), substr_k
+            ).select("h").distinct().withColumn(
                 "batch_id", F.lit(batch_id).cast("bigint")
             ).write.mode("append").parquet(substr_idx_dir)
+        # record the checkpoint lineage only once a batch has actually
+        # committed state into this state_dir
+        if lineage is not None and not lineage_ok["checked"]:
+            _check_lineage(write=True)
 
     return process

@@ -624,13 +624,16 @@ def test_streaming_corpus_prep_r5_review_guards(spark, tmp_path):
     got = {r.doc_id: r.text for r in spark.read.parquet(out).distinct().collect()}
     assert got[3] == z
 
-    # (c) lineage mismatch
-    lstate = str(tmp_path / "lstate")
-    make_batch_processor(spark, out, lstate, lineage="ckpt-A")
+    # (c) lineage: the marker is recorded only once a batch COMMITS — a
+    # run that never processed anything must not claim the state_dir
+    lstate, lout = str(tmp_path / "lstate"), str(tmp_path / "lout")
+    make_batch_processor(spark, lout, lstate, lineage="ckpt-A")  # no batch run
+    pB = make_batch_processor(spark, lout, lstate, lineage="ckpt-B")  # fine
+    pB(mk([(10, body, "en")]), 0)  # B commits -> state now belongs to B
     with pytest.raises(ValueError, match="lineage"):
-        make_batch_processor(spark, out, lstate, lineage="ckpt-B")
+        make_batch_processor(spark, lout, lstate, lineage="ckpt-A")
     # same lineage re-attaches fine
-    make_batch_processor(spark, out, lstate, lineage="ckpt-A")
+    make_batch_processor(spark, lout, lstate, lineage="ckpt-B")
 
 
 def test_streaming_corpus_prep_quality_gate(spark, tmp_path):

@@ -942,3 +942,33 @@ def test_train_bpe_merges(spark):
         F.sum("n_tokens")
     ).collect()[0][0]
     assert n_bpe < n_base * 0.8, (n_bpe, n_base)  # merges compress ≥20%
+
+
+def test_kmv_null_values_excluded(spark):
+    """r5 review: NULL values must not occupy a k-minima slot (md5(NULL)
+    is NULL, sorts first, was counted by n_kept but skipped by max(u) —
+    a biased estimate). A NULL is not a value: estimates with and
+    without planted NULLs are identical."""
+    from metadatadocumentparser_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    base = spark.range(200).select((F.col("id") % 40).cast("string").alias("v"))
+    with_null = base.unionByName(
+        spark.createDataFrame([(None,), (None,)], "v string")
+    )
+    a = kmv_distinct_estimate(base, "v", k=16).collect()[0]
+    b = kmv_distinct_estimate(with_null, "v", k=16).collect()[0]
+    assert (a.est_distinct_e2, a.n_kept) == (b.est_distinct_e2, b.n_kept)
+
+
+def test_heavy_hitters_empty_path_schema(spark):
+    """r5 review: the empty-candidates path must preserve the input
+    column's type (a hardcoded string schema made the output schema
+    depend on the data)."""
+    from metadatadocumentparser_spark.operators.sketch import heavy_hitters_exact
+
+    empty = spark.createDataFrame([], "v bigint")
+    out = heavy_hitters_exact(empty, "v", k=5, capacity=10)
+    assert out.schema.simpleString() == "struct<value:bigint,cnt:bigint>"
+    assert out.count() == 0
