@@ -158,7 +158,7 @@ def ngram_jaccard_pairs(
             .cast("bigint")
             .alias("jaccard_e4"),
         )
-        .where(F.col("jaccard_e4") >= int(threshold * 10000))
+        .where(F.col("jaccard_e4") >= int(round(threshold * 10000)))
     )
 
 
@@ -241,6 +241,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     un-guarded form ran 0.83 s vs 1.44 s with the repartition (the shuffle
     costs more than the serial map side saves). Contrast with_shingles,
     whose 8-md5-per-row partial agg gains 8× from the guard."""
+    if not (1 <= bits <= 16):
+        # the word hash has exactly 16 bits (4 md5 hex chars): bits > 16
+        # would silently zero every high bit and compute Hamming
+        # distances in a degenerate space (r5 review)
+        raise ValueError(f"simhash: bits must be in [1, 16], got {bits}")
     w = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),

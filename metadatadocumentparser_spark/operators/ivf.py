@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 
 def _centroids(emb_rows, n_list: int):
     """n_list unit-normalized centroids from id-stride sampling."""
+    if not emb_rows:
+        raise ValueError(
+            "ivf_cosine_topk: empty corpus — no vectors to seed centroids "
+            "from (an unguarded np.linalg.norm would raise an opaque axis "
+            "error executor-side instead)"
+        )
     mat = np.array([r[1] for r in emb_rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -101,6 +107,15 @@ def ivf_cosine_topk(
         stride = max(1, len(sample) // n_list)
         cents = _centroids([(r.i, r.v) for r in sample[::stride][:n_list]], n_list)
 
+    # n_probe > n_list means probe-all; unclamped, the assign kernel's
+    # argsort slice has n_list columns while repeat() assumes n_probe —
+    # a pandas length-mismatch crash in every task (r5 review, the
+    # ivfpq_topk clamp's sibling)
+    n_probe = min(n_probe, n_list)
+    from .similarity import _check_query_count
+
+    _check_query_count(queries, "ivf_cosine_topk")
+
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     assign_c = e.mapInPandas(
         _assign_kernel(cents, 1), schema="vec_id bigint, list_id int, probe_rank int"
@@ -115,7 +130,7 @@ def ivf_cosine_topk(
     ).select(F.col("vec_id").alias("qid"), "list_id")
     qv = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
 
-    from .similarity import _dot, _norm
+    from .similarity import cosine_expr
 
     cand = (
         F.broadcast(assign_q)
@@ -125,10 +140,7 @@ def ivf_cosine_topk(
         .select(
             "qid",
             "nid",
-            F.round(
-                _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
-                4,
-            ).alias("cosine"),
+            cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"),
         )
         # no distinct: every corpus vector lives in exactly ONE list
         # (assign n_probe=1) and a query probes n_probe DISTINCT lists

@@ -38,7 +38,13 @@ MAX_K = 8192  # same driver-collect budget as ivf.MAX_N_LIST
 def _seed_centroids(emb: DataFrame, id_col: str, vec_col: str, k: int) -> np.ndarray:
     """k deterministic seeds: the k vectors with the smallest md5(id) —
     an order-free, partitioning-free uniform sample (same md5-uniform
-    trick as sampling.sample_uniform)."""
+    TRICK as sampling.sample_uniform, but deliberately NOT the same
+    formula: this hashes md5(id) raw where sample_uniform hashes
+    md5('salt:id'). The difference is load-bearing — the pytest numpy
+    replicas and every trained-model determinism pin replay exactly
+    this ordering, so unifying the two would silently change every
+    trained centroid/codebook; noted per the one-definition convention
+    in quality.split_column."""
     rows = (
         emb.select(F.col(vec_col).alias("v"), F.md5(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h")

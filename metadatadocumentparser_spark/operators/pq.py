@@ -235,7 +235,7 @@ def pq_topk_rerank(
     shortlist contains ~94% of the true top-10 (m=16, k=64), and the
     rerank returns them in exact cosine order. Output matches
     similarity.cosine_topk's shape: (qid, rank, nid, cosine)."""
-    from .similarity import _dot, _norm
+    from .similarity import cosine_expr
 
     cand = pq_topk(
         codes, queries, codebooks, id_col=id_col, vec_col=vec_col, k=shortlist
@@ -248,11 +248,7 @@ def pq_topk_rerank(
         .select(
             "qid",
             "nid",
-            F.round(
-                _dot(F.col("qv"), F.col("nv"))
-                / (_norm(F.col("qv")) * _norm(F.col("nv"))),
-                4,
-            ).alias("cosine"),
+            cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))

@@ -275,6 +275,14 @@ def split_column(id_col, weights: dict[str, float] | None = None, salt: str = "s
     from .sampling import sample_uniform
 
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        # the last split takes whatever probability mass remains, so
+        # weights that don't sum to 1 silently skew it (r5 review:
+        # {.7,.1,.1} gave 'test' 20%, double the request) — fail loudly
+        raise ValueError(
+            f"split_column: weights must sum to 1, got "
+            f"{sum(weights.values())!r} from {weights!r}"
+        )
     u = sample_uniform(id_col, salt=salt)
     acc, expr = 0.0, None
     items = list(weights.items())

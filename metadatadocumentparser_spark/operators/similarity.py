@@ -37,7 +37,9 @@ def _check_query_count(queries: DataFrame, op: str) -> None:
         raise ValueError(
             f"{op}: query side has > MAX_QUERIES={MAX_QUERIES} rows; "
             "the broadcast top-k posture assumes a bounded query set — "
-            "split the queries, or use the LSH/IVF paths"
+            "split the queries (per-partition top-k + merge); the "
+            "LSH/IVF paths broadcast the query side too and carry the "
+            "same cap"
         )
 
 
@@ -70,6 +72,18 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def cosine_expr(a, b):
+    """Guarded cosine: NULL when either norm is zero. Unguarded, 0/0 is
+    NaN — and Spark orders NaN as the LARGEST double, so one all-zero
+    embedding (a padding row, a failed encoder) would outrank every real
+    neighbor in the desc top-k windows AND pass `>= threshold` filters
+    (r5 review). NULL instead sorts last under desc (Spark's default
+    NULLS LAST) and fails every threshold comparison. Rounded to 4
+    decimals like every caller did individually."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, F.round(_dot(a, b) / denom, 4))
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -91,10 +105,7 @@ def cosine_topk(
         .select(
             "qid",
             "nid",
-            F.round(
-                _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
-                4,
-            ).alias("cosine"),
+            cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -163,7 +174,11 @@ def lsh_cosine_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Bucketed ANN: score only corpus rows in the query's hyperplane
-    bucket. Returns the same shape as cosine_topk (recall < 1 by design)."""
+    bucket. Returns the same shape as cosine_topk (recall < 1 by design).
+    The query side is broadcast, so the MAX_QUERIES cap applies here too
+    (r5 review — this function was advertised as the path past the cap
+    while broadcasting the same side)."""
+    _check_query_count(queries, "lsh_cosine_topk")
     b = hyperplane_bucket(F.col(vec_col), n_planes, dim)
     q = F.broadcast(
         queries.select(
@@ -177,10 +192,7 @@ def lsh_cosine_topk(
         .select(
             "qid",
             "nid",
-            F.round(
-                _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
-                4,
-            ).alias("cosine"),
+            cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -212,10 +224,17 @@ def embedding_near_dup_pairs(
     method="exact": all-pairs theta join — a cartesian product with a
     predicate. NEVER call this unbounded on a large corpus; require an
     explicit max_ids cap.
+
+    ``max_ids`` bounds the ROW COUNT: the max_ids smallest ids are kept
+    (deterministic — orderBy(id).limit, a TakeOrderedAndProject). An
+    earlier version filtered on id VALUE (`id < max_ids`), which bounds
+    nothing when ids are sparse hash-derived bigints and silently
+    returns empty when they all exceed it (r5 review); for dense
+    0..n-1 ids the two are identical, so existing results are unchanged.
     """
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if max_ids is not None:
-        e = e.where(F.col("id") < max_ids)
+        e = e.orderBy("id").limit(max_ids)
     if method == "lsh":
         e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim))
         joined = e.alias("a").join(e.alias("b"), "bucket").where(
@@ -234,11 +253,7 @@ def embedding_near_dup_pairs(
         joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
-                4,
-            ).alias("cosine"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )  # no distinct needed: each id has exactly one bucket, pairs are unique

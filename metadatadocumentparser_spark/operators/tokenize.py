@@ -147,7 +147,16 @@ def train_bpe_merges(
         src = df.select(F.col(text_col).alias("t"), sample_uniform(F.col(id_col)).alias("u"))
         rows = src.orderBy("u").limit(sample_docs).collect()
     else:
-        rows = df.select(F.col(text_col).alias("t")).limit(sample_docs).collect()
+        # deterministic even without an id: order by md5 of the text
+        # itself (a bare limit() samples whatever the scan yields first —
+        # partition-layout-dependent merges, contradicting the docstring;
+        # r5 review). TakeOrderedAndProject, never a full sort.
+        rows = (
+            df.select(F.col(text_col).alias("t"))
+            .orderBy(F.md5(F.coalesce(F.col("t"), F.lit(""))), "t")
+            .limit(sample_docs)
+            .collect()
+        )
 
     word_freq = Counter()
     for r in rows:

@@ -389,6 +389,58 @@ def test_topk_query_side_cap(spark, monkeypatch):
     assert ivfpq_topk(idx, emb.limit(3), k=2, n_probe=2).count() == 6
 
 
+def test_zero_vector_never_outranks(spark):
+    """r5 review: a zero-norm embedding used to yield NaN cosine, which
+    Spark orders as the LARGEST double — rank-1 for every query and a
+    bogus pass of every >= threshold filter. With the guarded
+    cosine_expr the zero vector sorts last (NULL) and emits no pairs."""
+    from metadatadocumentparser_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(9)]
+    rows.append((9, [0.0] * 8))  # the padding row
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    top = cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=3)
+    assert 9 not in {r.nid for r in top.collect()}
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=-1.0, max_ids=10, method="exact"
+    )
+    assert not any(9 in (r.id_a, r.id_b) for r in pairs.collect())
+
+
+def test_ivf_probe_clamp_and_empty_corpus(spark):
+    """r5 review: n_probe > n_list clamps to probe-all (the unclamped
+    assign kernel crashed with a pandas length mismatch); an empty
+    corpus raises a named error instead of a numpy axis error."""
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 2)
+    over = {(r.qid, r.rank, r.nid) for r in
+            ivf_cosine_topk(emb, q, k=3, n_list=2, n_probe=99).collect()}
+    full = {(r.qid, r.rank, r.nid) for r in
+            ivf_cosine_topk(emb, q, k=3, n_list=2, n_probe=2).collect()}
+    assert over == full and len(over) == 6
+    with pytest.raises(Exception, match="empty corpus"):
+        ivf_cosine_topk(emb.limit(0), q, k=3, n_list=2)
+
+
+def test_lsh_ivf_query_cap(spark, monkeypatch):
+    """r5 review: lsh_cosine_topk / ivf_cosine_topk broadcast the query
+    side too — the MAX_QUERIES cap applies to them, not just the brute
+    path that used to (wrongly) recommend them as the escape hatch."""
+    from metadatadocumentparser_spark.operators import similarity
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    monkeypatch.setattr(similarity, "MAX_QUERIES", 4)
+    with pytest.raises(ValueError, match="MAX_QUERIES"):
+        similarity.lsh_cosine_topk(emb, emb, k=2, dim=8)
+    with pytest.raises(ValueError, match="MAX_QUERIES"):
+        ivf_cosine_topk(emb, emb, k=2, n_list=2)
+
+
 def test_kmeans_pq_nonfinite_guard(spark):
     """NaN/Inf embedding elements fail LOUDLY in k-means and PQ — a
     silent NaN would poison every centroid mean and distance it touches

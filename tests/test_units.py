@@ -972,3 +972,38 @@ def test_heavy_hitters_empty_path_schema(spark):
     out = heavy_hitters_exact(empty, "v", k=5, capacity=10)
     assert out.schema.simpleString() == "struct<value:bigint,cnt:bigint>"
     assert out.count() == 0
+
+
+def test_simhash_bits_guard(spark):
+    """r5 review: bits > 16 silently zeroed every high bit (the word
+    hash is 4 hex chars); now fail-loud."""
+    from metadatadocumentparser_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, "doc_id", "text", bits=32)
+    assert simhash(df, "doc_id", "text", bits=16).count() == 1
+
+
+def test_split_weights_must_sum_to_one(spark):
+    """r5 review: the last split absorbs the remaining mass, so weights
+    summing to 0.9 silently doubled the last stratum; now fail-loud."""
+    from metadatadocumentparser_spark.operators.quality import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, "doc_id", {"train": 0.7, "val": 0.1, "test": 0.1}).collect()
+    ok = split_assign(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    assert ok.count() == 10
+
+
+def test_bpe_sample_deterministic_without_id(spark):
+    """r5 review: the id-less BPE sample used a bare limit() (scan-order
+    dependent); now md5(text)-ordered — identical merges across
+    partitionings."""
+    from metadatadocumentparser_spark.operators.tokenize import train_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text")
+    a = train_bpe_merges(docs, "text", n_merges=12, sample_docs=100)
+    b = train_bpe_merges(docs.repartition(17), "text", n_merges=12, sample_docs=100)
+    assert a == b and len(a) == 12
