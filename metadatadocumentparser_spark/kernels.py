@@ -79,7 +79,14 @@ _OUT_COLUMNS = [
 
 
 def _turn_record(conv_id, turn_idx, role, tool, ts, text, parse_kwargs) -> dict:
-    """Parse ONE turn into the output-row dict (shared by both kernels)."""
+    """Parse ONE turn into the output-row dict (shared by both kernels).
+    Returns None for a row with no usable (conv_id, turn_idx) key — the
+    schema allows NULLs there, and int(None)/int(NaN) would otherwise
+    kill the whole task (r5 review), violating the engine's
+    never-fail-the-document posture (reference parser.py:148-150
+    swallows per-stage errors; a keyless row is skipped, not fatal)."""
+    if conv_id is None or turn_idx is None or turn_idx != turn_idx:  # NaN
+        return None
     text = text if isinstance(text, str) else ""
     parsed = docparse.parse_turn(text, **parse_kwargs)
     is_html = parsed["html"] is not None
@@ -187,11 +194,15 @@ def make_parse_kernel(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = [
-                _turn_record(*row, kw)
-                for row in zip(
-                    pdf["conv_id"], pdf["turn_idx"], pdf["role"],
-                    pdf["tool"], pdf["ts"], pdf["text"],
+                r
+                for r in (
+                    _turn_record(*row, kw)
+                    for row in zip(
+                        pdf["conv_id"], pdf["turn_idx"], pdf["role"],
+                        pdf["tool"], pdf["ts"], pdf["text"],
+                    )
                 )
+                if r is not None
             ]
             yield pd.DataFrame.from_records(recs, columns=_OUT_COLUMNS)
 
@@ -226,7 +237,10 @@ def make_parse_kernel_arrow(
     def kernel(batches):
         for batch in batches:
             cols = [batch.column(c).to_pylist() for c in in_cols]
-            recs = [_turn_record(*row, kw) for row in zip(*cols)]
+            recs = [
+                r for r in (_turn_record(*row, kw) for row in zip(*cols))
+                if r is not None
+            ]
             yield pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
 
     return kernel

@@ -194,7 +194,12 @@ def oracle_turn(
         out["turns"].append(
             {**key, "extracted_text": extracted, "spans": spans, "column_layout": None}
         )
-        title, author, date = html_meta(text)
+        # heuristics scan the HTML REGION only — matching the engine's
+        # meta_of(html_raw). Scanning the full turn text would match
+        # lookalike markup inside pre-%%HTML PDF span text (a '<h1>'
+        # inside %%SP content) and diverge from the engine (r5 review);
+        # for payloads where %%HTML is the whole turn the two are equal.
+        title, author, date = html_meta(parsed["html"])
         meta.update({"title": title, "author": author, "creation_date": date})
         out["meta"].append({**key, **meta})
         return out

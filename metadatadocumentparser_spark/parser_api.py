@@ -81,16 +81,26 @@ class TranscriptExtractor:
         )
         if not extract_formulas:
             outs["formulas"] = outs["formulas"].limit(0)
+        # remember the method for the export surface: the exported
+        # document's extraction_method must report the method USED
+        # (r5 review — it was hardcoded "pymupdf")
+        self._last_text_method = text_method
         return outs
 
     def compare_extraction_methods(self) -> dict:
         return compare_extraction_methods(self.df)
 
     def export_to_dict(self, outs: dict) -> DataFrame:
-        return canonical_struct(outs)
+        return canonical_struct(outs, extraction_method=self._method())
 
     def export(self, outs: dict, format: str = "toon", delimiter: str = ",") -> DataFrame:
-        return export(canonical_struct(outs), format=format, delimiter=delimiter)
+        return export(
+            canonical_struct(outs, extraction_method=self._method()),
+            format=format, delimiter=delimiter,
+        )
+
+    def _method(self) -> str:
+        return getattr(self, "_last_text_method", "pymupdf")
 
     def compare_export_formats(self, doc_dict: dict) -> dict:
         return compare_export_formats(doc_dict)
@@ -99,4 +109,7 @@ class TranscriptExtractor:
         return save_images(attach_image_bytes(outs["images"]), output_dir)
 
     def visualize_columns(self, n_turns: int = 3) -> list:
-        return visualize_columns(self.df, n_turns=n_turns)
+        return visualize_columns(
+            self.df, n_turns=n_turns,
+            header_margin=self.header_margin, footer_margin=self.footer_margin,
+        )

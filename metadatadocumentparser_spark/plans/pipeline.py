@@ -65,8 +65,16 @@ def parse_transcripts(
     """
     sc = df.sparkSession.sparkContext
     want = num_partitions or sc.defaultParallelism * 2
+    # an EXPLICIT num_partitions is a request, not a hint: honor it even
+    # when the auto heuristic wouldn't shuffle (r5 review — it was
+    # silently dropped unless "auto" independently fired); repartition=
+    # False still wins (the caller said never).
     if repartition is True or (
-        repartition == "auto" and df.rdd.getNumPartitions() < sc.defaultParallelism
+        repartition == "auto"
+        and (
+            num_partitions is not None
+            or df.rdd.getNumPartitions() < sc.defaultParallelism
+        )
     ):
         df = df.repartition(want, *_TURN_KEY)
     kw = dict(
@@ -225,7 +233,7 @@ def segments_of(parsed: DataFrame) -> DataFrame:
     return s.select(*_TURN_KEY, "s.*")
 
 
-def turns_of(parsed: DataFrame, segments: DataFrame | None = None) -> DataFrame:
+def turns_of(parsed: DataFrame) -> DataFrame:
     """Per-turn main-content text + char spans (the north-rule equality
     surface). PDF turns come straight from the kernel; HTML turns are
     assembled from content segments array-side — ONE projection over ONE

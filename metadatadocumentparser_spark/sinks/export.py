@@ -53,7 +53,7 @@ def _grouped(df: DataFrame, order_cols, struct_cols, alias: str) -> DataFrame:
     return df.groupBy(*_KEY).agg(inner.alias(alias))
 
 
-def canonical_struct(outs: dict) -> DataFrame:
+def canonical_struct(outs: dict, extraction_method: str = "pymupdf") -> DataFrame:
     """K1: one nested row per turn from the extract_all() output dict."""
     meta = outs["meta"].select(
         *_KEY,
@@ -112,7 +112,10 @@ def canonical_struct(outs: dict) -> DataFrame:
                 "formulas",
                 empty("array<struct<formula_index:int,page_num:int,bbox:array<double>,formula_text:string,latex:string,confidence:double>>"),
             ).alias("formulas"),
-            F.lit("pymupdf").alias("extraction_method"),
+            # the method that ACTUALLY produced the text (r5 review: this
+            # was hardcoded "pymupdf" even for pdfplumber parses —
+            # SURVEY ParsedDocument defines it as the method used)
+            F.lit(extraction_method).alias("extraction_method"),
             F.col("column_layout"),
         ).alias("document"),
     )
@@ -286,8 +289,18 @@ def save_images(images_with_bytes: DataFrame, output_dir: str) -> int:
     def _safe(part) -> str:
         # data-derived name components must not traverse paths: a conv_id
         # containing '/' or '..' would otherwise fail the task (missing
-        # subdir) or write OUTSIDE output_dir
-        return _re.sub(r"[^A-Za-z0-9._-]", "_", str(part)).lstrip(".") or "_"
+        # subdir) or write OUTSIDE output_dir. When sanitization CHANGES
+        # the name, append a short md5 of the raw value — otherwise two
+        # distinct conv_ids ('a/b' and 'a b') collapse to one filename
+        # and silently overwrite each other while the accumulator counts
+        # both (r5 review).
+        raw = str(part)
+        safe = _re.sub(r"[^A-Za-z0-9._-]", "_", raw).lstrip(".") or "_"
+        if safe != raw:
+            import hashlib
+
+            safe = f"{safe}-{hashlib.md5(raw.encode()).hexdigest()[:8]}"
+        return safe
 
     def write_part(rows):
         for r in rows:
@@ -333,10 +346,18 @@ def compare_extraction_methods(df: DataFrame) -> dict:
     return results
 
 
-def visualize_columns(df: DataFrame, n_turns: int = 3) -> list:
+def visualize_columns(
+    df: DataFrame,
+    n_turns: int = 3,
+    header_margin: float = 50,
+    footer_margin: float = 50,
+) -> list:
     """K7 debug utility (parser.py:366-393): for sampled turns, a plain-text
     rendering of detected column boxes with 1-based indexes (no PDF canvas
-    in this environment; same information content)."""
+    in this environment; same information content). Margins must match
+    the parse's (reference K7 re-runs layout with the parser's own
+    margins — r5 review: this rendered default-margin boxes even when
+    the extractor was configured differently)."""
     from ..geometry import column_boxes
     from ..payload import parse_payload
 
@@ -345,7 +366,9 @@ def visualize_columns(df: DataFrame, n_turns: int = 3) -> list:
         doc = parse_payload(r.text)
         pages = []
         for pnum, page in enumerate(doc.pages):
-            cols = column_boxes(page)
+            cols = column_boxes(
+                page, header_margin=header_margin, footer_margin=footer_margin
+            )
             pages.append(
                 {
                     "page": pnum,

@@ -72,3 +72,27 @@ def test_img_bytes_roundtrip():
         "%%PAGE 612 792\n%%IMG 0 0 10 10 100 100 rgb png zzNOTHEX"
     ).pages[0].images[0]
     assert bad.image_bytes is None
+
+
+def test_null_turn_key_rows_skipped_not_fatal(spark):
+    """r5 review: a NULL turn_idx (schema-legal) used to kill the whole
+    task via int(NaN)/int(None) in the kernel; keyless rows are now
+    skipped — the rest of the corpus parses, both engines."""
+    from metadatadocumentparser_spark import synth
+    from metadatadocumentparser_spark.plans import parse_transcripts, turns_of
+
+    rows = synth.synth_local(3, 2)
+    df = spark.createDataFrame(rows, schema=synth.TRANSCRIPT_DDL)
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame(
+        [("conv-bad", None, "user", "some text", None, None),
+         (None, 0, "user", "other text", None, None)],
+        schema=synth.TRANSCRIPT_DDL,
+    )
+    n_good = df.count()
+    for engine in ("arrow", "pandas"):
+        out = turns_of(parse_transcripts(df.unionByName(bad), engine=engine,
+                                         repartition=False))
+        assert out.count() == n_good
+        assert out.where(F.col("conv_id").isNull()).count() == 0
