@@ -22,14 +22,20 @@ LANG_MARKERS = {
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (BPE-ish regex variant: see bpe_token_count)."""
+    """Whitespace token count (BPE-ish regex variant: see bpe_token_count).
+    NULL text counts as empty (0) — unguarded, every term would be NULL
+    and a NULL quality score silently PASSES `score < min` gates
+    (r5 review)."""
+    text = F.coalesce(text, F.lit(""))
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(text), r"\s+"))
     )
 
 
 def bpe_token_count(text: Column) -> Column:
-    """Rough BPE-ish subword count: alnum runs + punctuation singles."""
+    """Rough BPE-ish subword count: alnum runs + punctuation singles.
+    NULL text counts as empty (see token_count)."""
+    text = F.coalesce(text, F.lit(""))
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"), 0))
     )
@@ -74,7 +80,9 @@ def non_ascii_ratio(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Marker-word + charset heuristic → {zh,de,fr,es,en}. Deterministic,
-    SQL-mirrorable; not a real classifier."""
+    SQL-mirrorable; not a real classifier. NULL text -> 'en' (the
+    empty-text default), never NULL."""
+    text = F.coalesce(text, F.lit(""))
     de = marker_count(text, LANG_MARKERS["de"])
     fr = marker_count(text, LANG_MARKERS["fr"])
     es = marker_count(text, LANG_MARKERS["es"])
@@ -89,7 +97,10 @@ def lang_id(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """0..1 quality: length term + low-punct term + stopword term (raw
-    double; callers scale with half_up_e4 for cross-engine hashing)."""
+    double; callers scale with half_up_e4 for cross-engine hashing).
+    NULL text scores as empty text, never NULL (a NULL score silently
+    passes `score < min` gates)."""
+    text = F.coalesce(text, F.lit(""))
     words = token_count(text).cast("double")
     length_term = F.least(words / 200.0, F.lit(1.0)) * 0.5
     pr = punct_count(text).cast("double") / F.greatest(F.length(text), F.lit(1))

@@ -54,6 +54,18 @@ def asof_join(
         F.lit(None).cast(pay_struct).alias("__rpay"),
     )
     left_cols = [c for c in left.columns]
+    clash = set(payload_cols) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"asof_join: payload_cols {sorted(clash)} collide with left "
+            "columns — the result would carry duplicate field names "
+            "(AMBIGUOUS_REFERENCE downstream); alias the payload first"
+        )
+    # a right row with NULL ts sorts FIRST under the ascending window and
+    # would be carried into every left row as a phantom match; ASOF
+    # semantics (DuckDB/QuestDB r.ts <= l.ts) never match a NULL
+    # timestamp (r5 review)
+    right = right.where(F.col(ts_col).isNotNull())
     ru = right.select(
         F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__rpay"),
         F.col(by),

@@ -65,11 +65,16 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in batches:
             ids, fps = [], []
             for i, t in zip(pdf["id"], pdf["t"]):
+                if i is None:  # keyless rows cannot carry fingerprints
+                    continue
                 for h in _winnow_one(t if isinstance(t, str) else ""):
                     ids.append(i)
                     # store as signed 64-bit (Spark bigint)
                     fps.append(h - (1 << 64) if h >= (1 << 63) else h)
-            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+            # no forced int64 dtype: the id column keeps the caller's
+            # type (string doc keys crashed pd.Series(dtype='int64') —
+            # r5 review)
+            yield pd.DataFrame({"id": ids,
                                 "fingerprint": pd.Series(fps, dtype="int64")})
 
     from ._util import ensure_min_parallelism
@@ -77,7 +82,8 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     src = ensure_min_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     )
-    return src.mapInPandas(kernel, schema="id bigint, fingerprint bigint")
+    id_ddl = src.schema["id"].dataType.simpleString()
+    return src.mapInPandas(kernel, schema=f"id {id_ddl}, fingerprint bigint")
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str, min_shared: int = 2) -> DataFrame:

@@ -79,6 +79,8 @@ def audio_window_energy(
         for pdf in batches:
             conv, turn, widx, energy = [], [], [], []
             for c, t, blob in zip(pdf["conv_id"], pdf["turn_idx"], pdf["audio_bytes"]):
+                if blob is None:  # NULL payload: skip, never fail (r5 review)
+                    continue
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
                 n_win = arr.size // window
                 if n_win == 0:
@@ -120,6 +122,8 @@ def video_frame_sample(
         for pdf in batches:
             conv, turn, fidx, fmd5 = [], [], [], []
             for c, t, blob in zip(pdf["conv_id"], pdf["turn_idx"], pdf["video_bytes"]):
+                if blob is None:  # NULL payload: skip, never fail (r5 review)
+                    continue
                 raw = bytes(blob)
                 for i in range(0, len(raw) // frame_bytes, every_n):
                     frame = raw[i * frame_bytes : (i + 1) * frame_bytes]
@@ -166,7 +170,7 @@ def resize_images(
             out = pdf[["conv_id", "turn_idx", "page_num", "image_index", "ext"]].copy()
             md5s, nb = [], []
             for blob in pdf["image_bytes"]:
-                raw = bytes(blob)
+                raw = bytes(blob) if blob is not None else b""  # NULL == empty
                 if len(raw) == 0:
                     md5s.append(hashlib.md5(b"").hexdigest())
                     nb.append(0)
@@ -206,14 +210,18 @@ def decode_images(images_with_bytes: DataFrame, fake: bool = False, n_features: 
                 )
             feats = []
             for blob in pdf["image_bytes"]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                arr = np.frombuffer(
+                    bytes(blob) if blob is not None else b"", dtype=np.uint8
+                )
                 hist = np.bincount(arr % n_features, minlength=n_features).astype(np.float32)
                 total = float(arr.size) if arr.size else 1.0
                 feats.append((hist / total).tolist())
             out = pdf[
                 ["conv_id", "turn_idx", "page_num", "image_index", "width", "height", "ext"]
             ].copy()
-            out["n_bytes"] = [len(bytes(b)) for b in pdf["image_bytes"]]
+            out["n_bytes"] = [
+                len(bytes(b)) if b is not None else 0 for b in pdf["image_bytes"]
+            ]
             out["features"] = feats
             yield out
 

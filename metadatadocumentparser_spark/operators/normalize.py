@@ -80,7 +80,11 @@ def normalize_text(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     orig = src.withColumnRenamed("t", "t_orig") if changed_flag else None
     if form is not None:
-        src = src.mapInPandas(_nfc_kernel(form), schema="id bigint, t string")
+        # id keeps the caller's type — a hardcoded bigint crashes string
+        # ids only on the form!=None path (r5 review, the
+        # classify_documents fix's sibling)
+        id_ddl = src.schema["id"].dataType.simpleString()
+        src = src.mapInPandas(_nfc_kernel(form), schema=f"id {id_ddl}, t string")
     out = src
     if strip_controls:
         out = out.withColumn("t", F.regexp_replace("t", _CTRL_RE, ""))

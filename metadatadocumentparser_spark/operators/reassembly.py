@@ -95,24 +95,25 @@ def salted_conversation_content(turns: DataFrame, salt_buckets: int = 16) -> Dat
     per-salt partials (already sorted) per conv_id — the phase-2 row count
     is bounded by salt_buckets per conversation regardless of skew.
 
-    Output is identical to conversation_content (tested); the inner
-    array_sort keys on turn_idx so the salt never leaks into ordering.
-    Offsets are precomputed per turn (linear window over lengths only), so
-    phase 2 does no per-element prefix work."""
+    Output is identical to conversation_content (tested); the SINGLE
+    array_sort in phase 2 keys on turn_idx so the salt never leaks into
+    ordering. (A per-salt array_sort in phase 1 would be dead work —
+    phase 2's array_sort is a full sort, not a merge, so pre-sorted
+    partials buy nothing; r5 review removed it from the skew-critical
+    phase-1 tasks.) Offsets are precomputed per turn (linear window over
+    lengths only), so phase 2 does no per-element prefix work."""
     rows = _with_offsets(turns)
     salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets)).alias("salt")
     partial = (
         rows.select("conv_id", salt, "turn_idx", "extracted_text", "start", "end")
         .groupBy("conv_id", "salt")
         .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("turn_idx").alias("turn_idx"),
-                        F.col("extracted_text").alias("t"),
-                        F.col("start").alias("start"),
-                        F.col("end").alias("end"),
-                    )
+            F.collect_list(
+                F.struct(
+                    F.col("turn_idx").alias("turn_idx"),
+                    F.col("extracted_text").alias("t"),
+                    F.col("start").alias("start"),
+                    F.col("end").alias("end"),
                 )
             ).alias("pa"),
             F.count("*").alias("pn"),

@@ -44,14 +44,14 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the mask never removed — e.g. a phone-shaped substring inside an
     email's local part is consumed by the <EMAIL> mask, so it must not
     count as a phone. Counts therefore equal the number of tokens the
-    mask actually inserted."""
-    t = F.col(text_col)
-    after_email = F.regexp_replace(t, EMAIL_RX, "<EMAIL>")
-    after_phone = F.regexp_replace(after_email, PHONE_RX, "<PHONE>")
+    mask actually inserted. The chain is driven by _CHAIN — the single
+    encoding of pattern order (r5 review: a hand-unrolled copy here
+    could drift from redacted_text's)."""
+    count_names = ("n_emails", "n_phones", "n_ips")
+    staged, cols = F.col(text_col), []
+    for (rx, token), name in zip(_CHAIN, count_names):
+        cols.append(F.regexp_count(staged, F.lit(rx)).cast("bigint").alias(name))
+        staged = F.regexp_replace(staged, rx, token)
     return df.select(
-        F.col(id_col).alias("id"),
-        F.regexp_count(t, F.lit(EMAIL_RX)).cast("bigint").alias("n_emails"),
-        F.regexp_count(after_email, F.lit(PHONE_RX)).cast("bigint").alias("n_phones"),
-        F.regexp_count(after_phone, F.lit(IPV4_RX)).cast("bigint").alias("n_ips"),
-        F.regexp_replace(after_phone, IPV4_RX, "<IP>").alias("redacted"),
+        F.col(id_col).alias("id"), *cols, staged.alias("redacted")
     )

@@ -1007,3 +1007,38 @@ def test_bpe_sample_deterministic_without_id(spark):
     a = train_bpe_merges(docs, "text", n_merges=12, sample_docs=100)
     b = train_bpe_merges(docs.repartition(17), "text", n_merges=12, sample_docs=100)
     assert a == b and len(a) == 12
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """r5 review: a right row with NULL ts sorted first in the window and
+    was carried into every left row as a phantom match; ASOF semantics
+    never match a NULL timestamp."""
+    from metadatadocumentparser_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k bigint, t bigint")
+    right = spark.createDataFrame([(1, None, 5)], "k bigint, t bigint, v bigint")
+    assert asof_join(left, right, by="k", ts_col="t",
+                     payload_cols=["v"], how="inner").count() == 0
+    out = asof_join(left, right, by="k", ts_col="t",
+                    payload_cols=["v"], how="left").collect()
+    assert len(out) == 1 and out[0].v is None
+    # payload/left column collision raises at plan time
+    import pytest as _pt
+    left2 = spark.createDataFrame([(1, 10, 0)], "k bigint, t bigint, v bigint")
+    with _pt.raises(ValueError, match="collide"):
+        asof_join(left2, right, by="k", ts_col="t", payload_cols=["v"])
+
+
+def test_textstats_null_text_is_empty(spark):
+    """r5 review: NULL text must score like empty text (0 / 'en'), not
+    NULL — a NULL quality silently passes `score < min` gates."""
+    from metadatadocumentparser_spark.functions import textstats as ts
+
+    df = spark.createDataFrame([(1, None)], "id bigint, text string")
+    r = df.select(
+        ts.token_count(F.col("text")).alias("tc"),
+        ts.bpe_token_count(F.col("text")).alias("bc"),
+        ts.quality_score(F.col("text")).alias("q"),
+        ts.lang_id(F.col("text")).alias("lang"),
+    ).collect()[0]
+    assert (r.tc, r.bc, r.lang) == (0, 0, "en") and r.q is not None
