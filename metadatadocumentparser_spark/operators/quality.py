@@ -149,8 +149,130 @@ def repetition_ngram_signals(
     top_ns: tuple[int, ...] = GOPHER_TOP_NS,
     dup_ns: tuple[int, ...] = GOPHER_DUP_NS,
 ) -> DataFrame:
-    """The rest of the Gopher §A1.1 repetition suite (repetition_signals
-    covers dup-word + top-bigram): per doc,
+    """Gopher §A1.1 n-gram repetition suite — doc-LOCAL mapInArrow kernel
+    (r6 rewrite; the former shuffle-based form is kept verbatim as
+    repetition_ngram_signals_sql and pinned equal by
+    tests/test_units.py::test_repetition_ngram_kernel_equals_sql).
+
+    Every signal depends ONLY on the document's own tokens, so the r5
+    plan — a 5-way fused gram explode, a corpus-wide (id, n, gram)
+    aggregation with collect_list(pos), two more keyed shuffles and a
+    join back to doc grain — shuffled ~5L gram strings per doc to compute
+    a per-row scalar. The kernel computes the identical values with ZERO
+    Exchange (guide §2.4/§4.2: the cheapest shuffle is the one removed;
+    batch-at-a-time Python over only (id, text)). Measured 6-30× on the
+    bench corpus; linear and embarrassingly parallel at 100 TB (no gram
+    skew, no shuffle at all).
+
+    Exactness contract with the DuckDB oracle (_ngram_rep_sql):
+    - tokens: text.split(' ') minus empties; NULL text → no tokens;
+    - heaviest gram: max by (count × token-chars, gram) — Python str
+      comparison is code-point order == Spark/DuckDB binary UTF-8 order;
+    - coverage: distinct covered positions, token chars only;
+    - rounding: floor(chars/d * 10000.0 + 0.5) on IEEE doubles — the
+      identical operation sequence as half_up_scaled.
+    """
+    import math
+
+    import pyarrow as pa
+
+    top_ns = tuple(top_ns)
+    dup_ns = tuple(dup_ns)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    id_ddl = src.schema["id"].dataType.simpleString()
+    out_cols = [f"top_{n}gram_e4" for n in top_ns] + [
+        f"dup_{n}gram_e4" for n in dup_ns
+    ]
+    schema = f"id {id_ddl}, " + ", ".join(f"{c} bigint" for c in out_cols)
+    floor = math.floor
+
+    def kernel(batches):
+        for batch in batches:
+            texts = batch.column("t").to_pylist()
+            res = {c: [] for c in out_cols}
+            for t in texts:
+                toks = [w for w in t.split(" ") if w] if t is not None else []
+                L = len(toks)
+                lens = [len(w) for w in toks]
+                # prefix sums: token chars of gram [i, i+n) = P[i+n]-P[i]
+                P = [0] * (L + 1)
+                acc = 0
+                for i, le in enumerate(lens):
+                    acc += le
+                    P[i + 1] = acc
+                d = acc
+                for n in all_ns:
+                    is_top = n in top_ns
+                    is_dup = n in dup_ns
+                    if L < n or d == 0:
+                        if is_top:
+                            res[f"top_{n}gram_e4"].append(0)
+                        if is_dup:
+                            res[f"dup_{n}gram_e4"].append(0)
+                        continue
+                    counts: dict = {}
+                    for i in range(L - n + 1):
+                        k = tuple(toks[i : i + n])
+                        e = counts.get(k)
+                        if e is None:
+                            counts[k] = [i]
+                        else:
+                            e.append(i)
+                    if is_top:
+                        best_w = -1
+                        for k, ps in counts.items():
+                            w = len(ps) * (P[ps[0] + n] - P[ps[0]])
+                            if w > best_w:
+                                best_w = w
+                        # tie-break: max gram string among max-weight grams
+                        # (distinct grams → no further tie possible)
+                        g_ps = max(
+                            (" ".join(k), ps)
+                            for k, ps in counts.items()
+                            if len(ps) * (P[ps[0] + n] - P[ps[0]]) == best_w
+                        )[1]
+                        pos = set()
+                        for p in g_ps:
+                            pos.update(range(p, p + n))
+                        chars = sum(lens[p] for p in pos)
+                        res[f"top_{n}gram_e4"].append(
+                            floor(chars / d * 10000.0 + 0.5)
+                        )
+                    if is_dup:
+                        pos = set()
+                        for ps in counts.values():
+                            if len(ps) >= 2:
+                                for p in ps:
+                                    pos.update(range(p, p + n))
+                        chars = sum(lens[p] for p in pos)
+                        res[f"dup_{n}gram_e4"].append(
+                            floor(chars / d * 10000.0 + 0.5)
+                        )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id")]
+                + [pa.array(res[c], type=pa.int64()) for c in out_cols],
+                names=["id"] + out_cols,
+            )
+
+    from ._util import ensure_min_parallelism
+
+    # one small parquet file would otherwise run the whole kernel on one
+    # core (the with_shingles rationale); round-robin split first
+    return ensure_min_parallelism(src).mapInArrow(kernel, schema=schema)
+
+
+def repetition_ngram_signals_sql(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = GOPHER_TOP_NS,
+    dup_ns: tuple[int, ...] = GOPHER_DUP_NS,
+) -> DataFrame:
+    """The r4/r5 all-native form (one fused gram explode + (id, n, gram)
+    aggregation). Kept as the A/B oracle for the kernel form above —
+    identical output, pinned by test_repetition_ngram_kernel_equals_sql.
+    Per doc,
 
     - ``top_{n}gram_e4`` (n in top_ns): fraction of token characters
       covered by occurrences of the HEAVIEST n-gram — heaviest = max by

@@ -582,6 +582,43 @@ def test_review_hardening_r4(spark):
         stratified_sample(nulls, "lang", "id", {"en": 1.0}).collect()
 
 
+def test_repetition_ngram_kernel_equals_sql(spark):
+    """r6: repetition_ngram_signals is a doc-local mapInArrow kernel; the
+    former all-native shuffle form is kept as repetition_ngram_signals_sql
+    and the two must agree byte-for-byte — including NULL/empty text,
+    unicode (astral) tokens, heaviest-gram ties, and single-token spam."""
+    from metadatadocumentparser_spark.operators.quality import (
+        repetition_ngram_signals,
+        repetition_ngram_signals_sql,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "  "),
+        (4, "a b a b a b x y z a b"),
+        (5, "z z z z z z z z z z z z"),
+        (6, "aa b aa b cc d cc d aa b cc d x y"),
+        (7, "\U0001F600 x \U0001F600 x \U0001F600 x y"),
+        (8, "a " * 11),
+        (9, "ab cd ab cd ab cd ab cd ab cd"),
+        # tie on weight between distinct 3-grams → string tie-break
+        (10, "p q r s p q r s"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    a = {r.id: tuple(r)[1:] for r in repetition_ngram_signals(df, "id", "text").collect()}
+    b = {
+        r.id: tuple(r)[1:]
+        for r in repetition_ngram_signals_sql(df, "id", "text").collect()
+    }
+    assert a == b
+    # non-bigint id types flow through the kernel schema (the tokenize_greedy
+    # id-ddl lesson): string ids must not crash or corrupt
+    sdf = spark.createDataFrame([("x", "a b a b a b")], "id string, text string")
+    got = repetition_ngram_signals(sdf, "id", "text").collect()
+    assert got[0].id == "x" and got[0].top_3gram_e4 > 0
+
+
 def test_repetition_ngram_signals(spark):
     """Gopher §A1.1 n-gram suite, hand-computed: positional coverage
     counts overlapped tokens once; heaviest-gram tie-break is
