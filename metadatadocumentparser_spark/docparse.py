@@ -106,7 +106,14 @@ def _column_font_info(page: Page, col):
 
 
 def extract_pymupdf_columns(doc: DocPayload, header_margin=50, footer_margin=50):
-    """Column-aware extraction (text.py:84-150)."""
+    """Column-aware extraction (text.py:84-150).
+
+    r6 perf: ONE pass assigns every page line to every containing column
+    (the r1-r5 form re-scanned all page lines per column for the text and
+    then again for the font info — 2·L·C containment tests instead of
+    L·C). Per-column document order is preserved (font info reads it) and
+    the text sort happens on the per-column list — identical outputs,
+    golden-pinned."""
     blocks = []
     for page_num, page in enumerate(doc.pages):
         cols = column_boxes(page, header_margin=header_margin, footer_margin=footer_margin)
@@ -127,15 +134,40 @@ def extract_pymupdf_columns(doc: DocPayload, header_margin=50, footer_margin=50)
                     )
                 )
             continue
-        for col in cols:
-            col_text, spans = _column_text(page, col)
+        colrs = [
+            (float(c[0]), float(c[1]), float(c[2]), float(c[3])) for c in cols
+        ]
+        ncols = len(colrs)
+        percol = [[] for _ in range(ncols)]
+        # document order per column — exactly what _column_text collected
+        # before sorting and what _column_font_info consumed directly
+        for blk in page.blocks:
+            for ln in blk.lines:
+                b0, b1, b2, b3 = ln.bbox
+                for ci in range(ncols):
+                    c = colrs[ci]
+                    if c[0] <= b0 and c[1] <= b1 and b2 <= c[2] and b3 <= c[3]:
+                        percol[ci].append(ln)
+        for ci in range(ncols):
+            kept = percol[ci]
+            skept = sorted(kept, key=lambda ln: (ln.bbox[1], ln.bbox[0]))
+            col_text = "\n".join(
+                "".join(s.text for s in ln.spans) for ln in skept
+            )
             if not col_text.strip():
                 continue
-            avg, name = _column_font_info(page, col)
+            spans = [(s.start, s.end) for ln in skept for s in ln.spans]
+            sizes, names = [], []
+            for ln in kept:
+                for s in ln.spans:
+                    sizes.append(s.size)
+                    names.append(s.font)
+            avg = sum(sizes) / len(sizes) if sizes else None
+            name = names[0] if names else None
             blocks.append(
                 _mk_block(
                     col_text,
-                    tuple(float(c) for c in col),
+                    colrs[ci],
                     page_num,
                     avg,
                     name,

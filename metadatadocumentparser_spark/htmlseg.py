@@ -45,8 +45,14 @@ def segment_html(html: str, base_offset: int = 0):
     turn payload), tag_path, words, link_density, boiler_container.
     Segments with zero words are dropped.
     """
+    # r6 perf: visibility ("any tag on the stack is INVISIBLE") and the
+    # boiler-container test are maintained as incremental depth counters
+    # on push/pop instead of re-scanning the stack per text node; flush()
+    # strips each piece once. Identical segments, golden-pinned.
     stack: list = []
     anchor_depth = 0
+    inv_depth = 0  # stack entries in INVISIBLE
+    boiler_depth = 0  # stack entries in BOILER_CONTAINERS
     segments: list = []
     pieces: list = []  # (text, start, end, in_anchor)
     seg_path = ""
@@ -55,20 +61,21 @@ def segment_html(html: str, base_offset: int = 0):
     def flush():
         nonlocal pieces
         if pieces:
-            texts = [p[0].strip() for p in pieces if p[0].strip()]
-            if texts:
-                text = " ".join(texts)
+            nz = [(p, s) for p in pieces for s in (p[0].strip(),) if s]
+            if nz:
+                text = " ".join(s for _, s in nz)
                 words = len(text.split())
-                anchor_words = sum(len(p[0].split()) for p in pieces if p[3])
                 if words > 0:
+                    anchor_words = sum(
+                        len(p[0].split()) for p in pieces if p[3]
+                    )
                     ld = anchor_words / words
-                    nz = [p for p in pieces if p[0].strip()]
                     segments.append(
                         {
                             "seg_idx": len(segments),
                             "text": text,
-                            "start": nz[0][1],
-                            "end": nz[-1][2],
+                            "start": nz[0][0][1],
+                            "end": nz[-1][0][2],
                             "tag_path": seg_path,
                             "words": words,
                             "link_density": ld,
@@ -81,11 +88,10 @@ def segment_html(html: str, base_offset: int = 0):
     for m in TAG_RE.finditer(html):
         raw_text = html[pos : m.start()]
         if raw_text:
-            visible = not any(t in INVISIBLE for t in stack)
-            if visible and raw_text.strip():
+            if inv_depth == 0 and raw_text.strip():
                 if not pieces:
                     seg_path = "/".join(stack)
-                    seg_boiler = any(t in BOILER_CONTAINERS for t in stack)
+                    seg_boiler = boiler_depth > 0
                 pieces.append(
                     (
                         raw_text,
@@ -106,17 +112,26 @@ def segment_html(html: str, base_offset: int = 0):
             if closing:
                 for i in range(len(stack) - 1, -1, -1):
                     if stack[i] == tag:
+                        for t in stack[i:]:
+                            if t in INVISIBLE:
+                                inv_depth -= 1
+                            if t in BOILER_CONTAINERS:
+                                boiler_depth -= 1
                         del stack[i:]
                         break
             else:
                 stack.append(tag)
+                if tag in INVISIBLE:
+                    inv_depth += 1
+                if tag in BOILER_CONTAINERS:
+                    boiler_depth += 1
         pos = m.end()
 
     tail = html[pos:]
-    if tail and tail.strip() and not any(t in INVISIBLE for t in stack):
+    if tail and tail.strip() and inv_depth == 0:
         if not pieces:
             seg_path = "/".join(stack)
-            seg_boiler = any(t in BOILER_CONTAINERS for t in stack)
+            seg_boiler = boiler_depth > 0
         pieces.append(
             (
                 tail,

@@ -49,8 +49,13 @@ PARSED_DDL = ", ".join(
             "page_sizes:array<struct<width:double,height:double>>>"
         ),
         "column_layout string",
-        "extracted_text string",
-        "spans array<struct<start:int,`end`:int>>",
+        # NOTE (r6): extracted_text and spans are NOT materialized in the
+        # parsed layer — both are pure per-turn functions of `blocks`
+        # (text = block texts joined by '\n\n'; spans = the blocks'
+        # (span_start, span_end) pairs, parse_doc's exact construction),
+        # so turns_of derives them natively (array_join / transform) and
+        # the kernel does not encode, the JVM does not row-convert, and
+        # the staging write does not store ~22% duplicated bytes.
         (
             "blocks array<struct<block_idx:int,page_num:int,bbox:array<double>,"
             "text:string,font_size:double,font_name:string,needs_classify:boolean,"
@@ -73,8 +78,7 @@ PARSED_DDL = ", ".join(
 
 _OUT_COLUMNS = [
     "conv_id", "turn_idx", "role", "tool", "ts", "html_raw", "is_html",
-    "meta", "column_layout", "extracted_text", "spans", "blocks",
-    "images", "tables", "segments",
+    "meta", "column_layout", "blocks", "images", "tables", "segments",
 ]
 
 
@@ -105,13 +109,9 @@ def _turn_record(conv_id, turn_idx, role, tool, ts, text, parse_kwargs) -> dict:
             }
             for s in htmlseg.segment_html(parsed["html"], parsed["html_start"])
         ]
-        extracted_text = None  # assembled natively from content segments
-        spans = None
         column_layout = None
     else:
         segments = []
-        extracted_text = parsed["extracted_text"]
-        spans = [{"start": s[0], "end": s[1]} for s in parsed["spans"]]
         column_layout = parsed["column_layout"]
     m = parsed["meta"]
     return {
@@ -132,8 +132,6 @@ def _turn_record(conv_id, turn_idx, role, tool, ts, text, parse_kwargs) -> dict:
             ],
         },
         "column_layout": column_layout,
-        "extracted_text": extracted_text,
-        "spans": spans,
         "blocks": [
             {
                 "block_idx": b["block_idx"],

@@ -132,7 +132,17 @@ def _floats(parts, n):
 
 
 def parse_payload(text: str) -> DocPayload:
-    """Tokenize one turn payload. Never raises on malformed input."""
+    """Tokenize one turn payload. Never raises on malformed input.
+
+    r6 perf: this is the parse kernel's inner loop (once per payload
+    line); branches are ordered by tag frequency (%%SP / %%LN dominate),
+    float parsing is inlined (no per-line _floats call + list build for
+    the hot tags), and records are constructed with positional args
+    (keyword construction of slotted dataclasses measures ~30% slower).
+    Page-scoped tags (%%SP needs a line, %%LN a block, …) carry their
+    guard inside the branch — identical skip behavior to the old
+    page-guard-first ladder, since a line/block/table can only exist
+    under a page."""
     meta = None
     meta_error = False
     pages: list = []
@@ -154,15 +164,113 @@ def parse_payload(text: str) -> DocPayload:
         if not raw.startswith("%%"):
             continue
         sep = raw.find(" ")
-        tag = raw if sep == -1 else raw[:sep]
-        rest = "" if sep == -1 else raw[sep + 1 :]
+        if sep == -1:
+            tag = raw
+            rest = ""
+        else:
+            tag = raw[:sep]
+            rest = raw[sep + 1 :]
 
-        if tag == "%%HTML":
-            html_start = line_start + len(raw) + 1
-            html = text[html_start:]
-            break
-
-        if tag == "%%DOC":
+        if tag == "%%SP":
+            if line is None:
+                continue
+            bar = rest.find("|")
+            if bar == -1:
+                continue
+            head = rest[:bar].split()
+            if len(head) < 2:
+                continue
+            try:
+                size = float(head[0])
+            except ValueError:
+                continue
+            start = line_start + 5 + bar + 1  # len("%%SP") + 1
+            sp_text = rest[bar + 1 :]
+            line.spans.append(
+                Span(size, head[1], sp_text, start, start + len(sp_text))
+            )
+        elif tag == "%%LN":
+            if block is None:
+                continue
+            p = rest.split()
+            if len(p) < 6:
+                continue
+            try:
+                b0 = float(p[0]); b1 = float(p[1]); b2 = float(p[2])
+                b3 = float(p[3]); d0 = float(p[4]); d1 = float(p[5])
+            except ValueError:
+                continue
+            line = Line((b0, b1, b2, b3), (d0, d1))
+            block.lines.append(line)
+        elif tag == "%%WORD":
+            if page is None:
+                continue
+            bar = rest.find("|")
+            if bar == -1:
+                continue
+            p = rest[:bar].split()
+            if len(p) < 4:
+                continue
+            try:
+                x0 = float(p[0]); x1 = float(p[1])
+                tp = float(p[2]); bt = float(p[3])
+            except ValueError:
+                continue
+            start = line_start + 7 + bar + 1  # len("%%WORD") + 1
+            w_text = rest[bar + 1 :]
+            page.words.append(
+                Word(x0, x1, tp, bt, w_text, start, start + len(w_text))
+            )
+        elif tag == "%%BLK":
+            if page is None:
+                continue
+            f = _floats(rest.split(), 4)
+            if f is not None:
+                block = Block(tuple(f))
+                page.blocks.append(block)
+                line = None
+        elif tag == "%%ROW":
+            if table is not None:
+                table.rows.append(rest.split("|"))
+        elif tag == "%%DRAW":
+            if page is None:
+                continue
+            f = _floats(rest.split(), 4)
+            if f is not None:
+                page.draws.append(tuple(f))
+        elif tag == "%%IMG":
+            if page is None:
+                continue
+            parts = rest.split()
+            f = _floats(parts, 6)
+            if f is not None and len(parts) >= 8:
+                img_bytes = None
+                if len(parts) >= 9:
+                    try:
+                        img_bytes = bytes.fromhex(parts[8])
+                    except ValueError:
+                        img_bytes = None  # malformed hex swallowed like all payload errors
+                page.images.append(
+                    ImageRec(
+                        tuple(f[:4]), int(f[4]), int(f[5]), parts[6], parts[7],
+                        img_bytes,
+                    )
+                )
+        elif tag == "%%PAGE":
+            f = _floats(rest.split(), 2)
+            if f is None:
+                continue
+            page = Page(f[0], f[1])
+            pages.append(page)
+            block = line = table = None
+        elif tag == "%%TBL":
+            if page is None:
+                continue
+            f = _floats(rest.split(), 4)
+            if f is not None:
+                table = TableRec(tuple(f))
+                page.tables.append(table)
+        elif tag == "%%DOC":
             meta = {}
             try:
                 for kv in rest.split(";"):
@@ -175,96 +283,10 @@ def parse_payload(text: str) -> DocPayload:
             except ValueError:
                 meta = None
                 meta_error = True
-            continue
-
-        if tag == "%%PAGE":
-            f = _floats(rest.split(), 2)
-            if f is None:
-                continue
-            page = Page(w=f[0], h=f[1])
-            pages.append(page)
-            block = line = table = None
-            continue
-
-        if page is None:
-            continue
-
-        if tag == "%%DRAW":
-            f = _floats(rest.split(), 4)
-            if f is not None:
-                page.draws.append(tuple(f))
-        elif tag == "%%IMG":
-            parts = rest.split()
-            f = _floats(parts, 6)
-            if f is not None and len(parts) >= 8:
-                img_bytes = None
-                if len(parts) >= 9:
-                    try:
-                        img_bytes = bytes.fromhex(parts[8])
-                    except ValueError:
-                        img_bytes = None  # malformed hex swallowed like all payload errors
-                page.images.append(
-                    ImageRec(
-                        bbox=tuple(f[:4]),
-                        width=int(f[4]),
-                        height=int(f[5]),
-                        colorspace=parts[6],
-                        ext=parts[7],
-                        image_bytes=img_bytes,
-                    )
-                )
-        elif tag == "%%BLK":
-            f = _floats(rest.split(), 4)
-            if f is not None:
-                block = Block(bbox=tuple(f))
-                page.blocks.append(block)
-                line = None
-        elif tag == "%%LN":
-            f = _floats(rest.split(), 6)
-            if f is not None and block is not None:
-                line = Line(bbox=tuple(f[:4]), direction=(f[4], f[5]))
-                block.lines.append(line)
-        elif tag == "%%SP":
-            bar = rest.find("|")
-            if bar == -1 or line is None:
-                continue
-            head = rest[:bar].split()
-            f = _floats(head, 1)
-            if f is None or len(head) < 2:
-                continue
-            start = line_start + len(tag) + 1 + bar + 1
-            sp_text = rest[bar + 1 :]
-            line.spans.append(
-                Span(size=f[0], font=head[1], text=sp_text, start=start, end=start + len(sp_text))
-            )
-        elif tag == "%%WORD":
-            bar = rest.find("|")
-            if bar == -1:
-                continue
-            f = _floats(rest[:bar].split(), 4)
-            if f is None:
-                continue
-            start = line_start + len(tag) + 1 + bar + 1
-            w_text = rest[bar + 1 :]
-            page.words.append(
-                Word(
-                    x0=f[0],
-                    x1=f[1],
-                    top=f[2],
-                    bottom=f[3],
-                    text=w_text,
-                    start=start,
-                    end=start + len(w_text),
-                )
-            )
-        elif tag == "%%TBL":
-            f = _floats(rest.split(), 4)
-            if f is not None:
-                table = TableRec(bbox=tuple(f))
-                page.tables.append(table)
-        elif tag == "%%ROW":
-            if table is not None:
-                table.rows.append(rest.split("|"))
+        elif tag == "%%HTML":
+            html_start = line_start + len(raw) + 1
+            html = text[html_start:]
+            break
         # unknown %%-directives are skipped
 
     return DocPayload(meta=meta, meta_error=meta_error, pages=pages, html=html, html_start=html_start)

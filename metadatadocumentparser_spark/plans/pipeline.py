@@ -235,21 +235,31 @@ def segments_of(parsed: DataFrame) -> DataFrame:
 
 def turns_of(parsed: DataFrame) -> DataFrame:
     """Per-turn main-content text + char spans (the north-rule equality
-    surface). PDF turns come straight from the kernel; HTML turns are
-    assembled from content segments array-side — ONE projection over ONE
-    kernel pass, no join/union/window (array order is seg_idx order by
-    construction, never shuffle order)."""
+    surface). PDF turns are assembled natively from the blocks array
+    (r6: the parsed layer no longer materializes extracted_text/spans —
+    text is parse_doc's '\\n\\n' join of block texts, spans the blocks'
+    (span_start, span_end) pairs, both exact reconstructions); HTML
+    turns are assembled from content segments array-side — ONE
+    projection over ONE kernel pass, no join/union/window (array order
+    is block/seg_idx order by construction, never shuffle order)."""
     content = F.filter(_classified_segments(), lambda x: x["is_content"])
     html_text = F.array_join(F.transform(content, lambda x: x["text"]), "\n\n")
     html_spans = F.transform(
         content, lambda x: F.struct(x["start"].alias("start"), x["end"].alias("end"))
     )
+    pdf_text = F.array_join(
+        F.transform("blocks", lambda b: b["text"]), "\n\n"
+    )
+    pdf_spans = F.transform(
+        "blocks",
+        lambda b: F.struct(
+            b["span_start"].alias("start"), b["span_end"].alias("end")
+        ),
+    )
     return parsed.select(
         *_TURN_KEY,
-        F.when(F.col("is_html"), html_text)
-        .otherwise(F.col("extracted_text"))
-        .alias("extracted_text"),
-        F.when(F.col("is_html"), html_spans).otherwise(F.col("spans")).alias("spans"),
+        F.when(F.col("is_html"), html_text).otherwise(pdf_text).alias("extracted_text"),
+        F.when(F.col("is_html"), html_spans).otherwise(pdf_spans).alias("spans"),
         F.col("column_layout"),
     )
 
