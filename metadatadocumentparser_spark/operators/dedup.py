@@ -162,6 +162,20 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_array(text_col: str, k: int = SHINGLE_K):
+    """The distinct word-k-shingle ARRAY of one document — exactly the
+    shingles with_shingles explodes (same split-on-single-space tokens,
+    same slice/join construction, same array_distinct), kept array-side."""
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN"
+            f" transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+            f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+            f" ELSE array() END"
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -170,13 +184,35 @@ def minhash_signatures(
     shingle_k: int = SHINGLE_K,
 ) -> DataFrame:
     """id + h0..h{num_hashes-1}: per-permutation minima of md5('<i>:'+shingle).
-    md5-hex minima are plain lexicographic string minima — portable."""
-    sh = with_shingles(df, id_col, text_col, k=shingle_k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    md5-hex minima are plain lexicographic string minima — portable.
+
+    r6: computed ARRAY-SIDE (array_min over the doc's distinct-shingle
+    array) — the r1-r5 form exploded ~L shingle rows per doc and paid a
+    corpus-wide groupBy(id) shuffle to re-assemble a per-doc scalar row;
+    the signature is a pure per-doc function, so the explode+shuffle was
+    pure cost (guide §2.4). md5 count is identical; array_min uses the
+    same binary string ordering as the min() aggregate. Docs with no
+    shingles (< k tokens) produced no rows before and are filtered the
+    same way here (all-NULL minima)."""
+    from ._util import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    shs = shingle_array(text_col, shingle_k)
+
+    def _h(i):
+        # single-arg lambda: a second parameter would be interpreted by
+        # transform() as the ARRAY INDEX, not a closure variable
+        pre = f"{i}:"
+        return F.array_min(
+            F.transform(F.col("shs"), lambda s: F.md5(F.concat(F.lit(pre), s)))
+        )
+
+    cols = [_h(i).alias(f"h{i}") for i in range(num_hashes)]
+    return (
+        df.select(F.col(id_col).alias("id"), shs.alias("shs"))
+        .select("id", *cols)
+        .where(F.col("h0").isNotNull())
+    )
 
 
 def minhash_band_rows(
@@ -201,14 +237,21 @@ def minhash_band_rows(
         df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
     r = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        key = F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]))
-        band_rows.append(sig.select("id", F.lit(b).alias("band"), key.alias("bkey")))
-    out = band_rows[0]
-    for extra in band_rows[1:]:
-        out = out.unionByName(extra)
-    return out
+    # r6: ONE explode of a bands-length struct array instead of a
+    # bands-way union of selects over sig — the union re-planned the
+    # signature subtree per band (guide §2.4: same rows, one pass)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])).alias(
+                "bkey"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*entries)).alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    )
 
 
 def minhash_lsh_pairs(
