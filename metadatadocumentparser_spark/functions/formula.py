@@ -26,6 +26,11 @@ MATH_CHARS = "+-*/=()[]{}^_∈∉⊂⊃∪∩|<>;:!%"
 # formula.py:39 — all strong indicators are single chars → one alphabet
 STRONG_CHARS = "=∫∑∏√∂∇≈≠≤≥∞∈∉"
 
+# The two alphabets are DISJOINT, so count-in-union == sym_count +
+# char_count — one translate scan decides the zero-count fast path
+# (see formula_score_cols' gating proof) instead of two.
+ALL_MATH_CHARS = MATH_SYMBOLS + MATH_CHARS
+
 # formula.py:43-50 — positive patterns (`{` escaped for the Java parser,
 # semantics unchanged). All are evaluated under `(?U)`
 # (UNICODE_CHARACTER_CLASS) so Java's \s/\d/\w behave like Python's re

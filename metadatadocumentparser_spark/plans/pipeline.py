@@ -132,11 +132,25 @@ def formulas_of(parsed: DataFrame, strict_mode: bool = False) -> DataFrame:
     rows (a shuffle of ~0.1% of blocks, keyed by turn — never conv)."""
     threshold = 0.8 if strict_mode else 0.7
     b = parsed.select(*_TURN_KEY, F.posexplode("blocks").alias("bpos", "b"))
-    t = stripped_text(F.col("b.text"))
+    raw = F.col("b.text")
+    t = stripped_text(raw)
     score, confidence, _ = formula_score_cols(t, F.col("b.font_size"), strict_mode)
+    # r6 fast path: ONE translate scan over the RAW text decides the
+    # zero-math-char case before anything else runs. Stripping removes
+    # only whitespace + \x1c-\x1f — none of which are in either alphabet
+    # — so zero union-count on raw ⟺ zero (sym + chr) on stripped ⟹
+    # score 0 (formula_score_cols' gating proof) < threshold ⟹ never
+    # passes. Prose blocks (the overwhelming majority) skip the strip
+    # regexp_replace and both per-alphabet translates entirely.
+    from ..functions.formula import ALL_MATH_CHARS
+
+    raw_has_math = F.length(raw) != F.length(F.translate(raw, ALL_MATH_CHARS, ""))
     # lazy CASE: the P7 negative-pattern scan only runs for blocks whose
     # score already clears the threshold (a tiny fraction of the corpus)
-    passes = F.when(score >= threshold, is_formula_candidate(t)).otherwise(F.lit(False))
+    passes = F.when(
+        raw_has_math,
+        F.when(score >= threshold, is_formula_candidate(t)).otherwise(F.lit(False)),
+    ).otherwise(F.lit(False))
     passed = b.select(
         *_TURN_KEY,
         "bpos",
