@@ -74,14 +74,18 @@ def content_defined_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
     from ._util import ensure_min_parallelism
 
-    # 16 MiB floor: the CDC kernel is a cheap vectorized-numpy pass, so on
-    # small under-split inputs the guard's shuffle costs MORE than the
+    # 2 MiB floor: the CDC kernel is a cheap vectorized-numpy pass, so on
+    # tiny under-split inputs the guard's shuffle costs MORE than the
     # serial map side (measured: 0.66 s vs 0.93 s on the 0.6 MB bench
     # corpus — the round-3 cdc_chunks regression, BENCH.md round 4);
-    # contrast with_shingles' md5-heavy kernel which keeps min_bytes=0
+    # contrast with_shingles' md5-heavy kernel which keeps min_bytes=0.
+    # r6: floor lowered 16 MiB → 2 MiB — a single-file ~6 MB corpus (the
+    # sf1.0 documents table) sat under the old floor and ran the whole
+    # kernel on one core; at ≥2 MB the serial kernel costs well over the
+    # ~0.3 s the repartition adds
     src = ensure_min_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
-        min_bytes=16 << 20,
+        min_bytes=2 << 20,
     )
     return src.mapInPandas(kernel, schema=CHUNK_DDL)
 

@@ -186,6 +186,13 @@ def perplexity_score(
     if lm["n"] != 3:
         raise ValueError("perplexity_score: expects an order-3 LM (n=3)")
     total = lm["total"]
+    from ._util import ensure_min_parallelism
+
+    # the token posexplode + 4 gram projections + (broadcast) count-table
+    # probes all run in the SCAN stage — a single-file corpus would do
+    # that serially on one core without the guard. min_bytes=2 MiB is the
+    # measured break-even (0.6 MB: 0.84s→2.1s; 6 MB 1-file: 3.8s→2.5s)
+    df = ensure_min_parallelism(df, min_bytes=2 << 20)
     toks = _toks(text_col)
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
     rows = base.select(

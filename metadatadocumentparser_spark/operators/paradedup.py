@@ -40,6 +40,10 @@ def paragraph_dedup(
     or a dropped row)."""
     sep_re = _java_regex_quote(sep)
     text = F.coalesce(F.col(text_col), F.lit(""))
+    # NO parallelism guard here (measured, r6): paragraph-grain md5 is a
+    # few hashes per doc, and the guard's round-robin shuffle of the full
+    # text lost at both 0.6 MB (1.1s→2.7s) and a 6 MB single file
+    # (1.2s→3.1s) — the groupBy(h) exchange parallelizes everything else
     p = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(text, sep_re)).alias("pos", "para"),

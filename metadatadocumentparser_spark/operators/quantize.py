@@ -37,6 +37,11 @@ def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, scale, qvec array<tinyint>): symmetric int8 quantization."""
+    from ._util import ensure_min_parallelism
+
+    # the per-element transforms are interpreted HOFs evaluated in the
+    # scan stage — a single-file corpus runs them on one core unguarded
+    df = ensure_min_parallelism(df, min_bytes=1 << 20)
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

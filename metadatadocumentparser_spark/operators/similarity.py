@@ -95,10 +95,16 @@ def cosine_topk(
     self), deterministic tiebreak on neighbor id. Raises when the query
     side exceeds MAX_QUERIES (see the module constant)."""
     _check_query_count(queries, "cosine_topk")
+    from ._util import ensure_min_parallelism
+
     q = F.broadcast(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     )
-    c = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    # |queries| interpreted dot products per corpus row happen map-side in
+    # the scan stage — parallelize a single-file corpus first (r6)
+    c = ensure_min_parallelism(emb).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col("qid") != F.col("nid"))

@@ -80,7 +80,17 @@ def _pows(n: int):
 
 def token_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, toks, n): the operator's whitespace tokenization (NULL text
-    -> empty array) — shared with the streaming incremental variant."""
+    -> empty array) — shared with the streaming incremental variant.
+
+    r6: guarded with ensure_min_parallelism — a single-parquet-file
+    corpus (one scan task) otherwise runs the window explode + hash of
+    EVERY token position serially on one core (the with_shingles
+    rationale). min_bytes=2 MiB is the measured break-even: on the
+    0.6 MB sf0.1 file the guard cost 1.3s→2.3s, on a single-file 50k-doc
+    corpus it saved 7.3s→4.6s."""
+    from ._util import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, min_bytes=2 << 20)
     text = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col).alias("id"),
