@@ -131,7 +131,17 @@ def formulas_of(parsed: DataFrame, strict_mode: bool = False) -> DataFrame:
     W6 running formula_index as a row_number window over only the passing
     rows (a shuffle of ~0.1% of blocks, keyed by turn — never conv)."""
     threshold = 0.8 if strict_mode else 0.7
-    b = parsed.select(*_TURN_KEY, F.posexplode("blocks").alias("bpos", "b"))
+    # zip only the four consumed fields (text, font_size, page_num, bbox)
+    # before the posexplode — nested schema pruning cannot see through the
+    # generator's struct access, but it prunes field-array extraction, so
+    # the scan skips font_name/needs_classify/page_height/span_* bytes
+    zipped = F.arrays_zip(
+        F.col("blocks.text").alias("text"),
+        F.col("blocks.font_size").alias("font_size"),
+        F.col("blocks.page_num").alias("page_num"),
+        F.col("blocks.bbox").alias("bbox"),
+    )
+    b = parsed.select(*_TURN_KEY, F.posexplode(zipped).alias("bpos", "b"))
     raw = F.col("b.text")
     t = stripped_text(raw)
     score, confidence, _ = formula_score_cols(t, F.col("b.font_size"), strict_mode)
@@ -261,15 +271,15 @@ def turns_of(parsed: DataFrame) -> DataFrame:
     html_spans = F.transform(
         content, lambda x: F.struct(x["start"].alias("start"), x["end"].alias("end"))
     )
-    pdf_text = F.array_join(
-        F.transform("blocks", lambda b: b["text"]), "\n\n"
-    )
-    pdf_spans = F.transform(
-        "blocks",
-        lambda b: F.struct(
-            b["span_start"].alias("start"), b["span_end"].alias("end")
-        ),
-    )
+    # field-array extraction (blocks.text — GetArrayStructFields) instead
+    # of a transform lambda over the struct array: Catalyst's nested
+    # schema pruning sees through the former but not through lambda
+    # bodies, so the parquet scan reads ONLY text/span_start/span_end of
+    # the blocks struct (the cast renames the zipped fields positionally)
+    pdf_text = F.array_join(F.col("blocks.text"), "\n\n")
+    pdf_spans = F.arrays_zip(
+        F.col("blocks.span_start"), F.col("blocks.span_end")
+    ).cast("array<struct<start:int,`end`:int>>")
     return parsed.select(
         *_TURN_KEY,
         F.when(F.col("is_html"), html_text).otherwise(pdf_text).alias("extracted_text"),
