@@ -25,6 +25,15 @@ K = 8          # k-gram length
 W = 16         # winnowing window
 BASE = np.uint64(1000003)
 MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+# Document-frequency cap for the overlap self-join (r6, the dedup.py
+# MAX_SHINGLE_DF pattern): a fingerprint surviving winnowing in N docs
+# (license headers, boilerplate) emits O(N²) candidate rows. Fingerprints
+# above the cap carry no discriminative signal (the MOSS rationale) and
+# are dropped BEFORE the join, bounding pair volume. 512 is far above
+# the organic max df of the oracle-checked corpora (sf0.001: 341,
+# sf0.01: 325 — those results are byte-identical with or without the
+# cap) while still bounding the pathological case.
+MAX_FP_DF = 512
 
 
 def rolling_hashes(text: str) -> np.ndarray:
@@ -86,10 +95,27 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return src.mapInPandas(kernel, schema=f"id {id_ddl}, fingerprint bigint")
 
 
-def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str, min_shared: int = 2) -> DataFrame:
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    max_fp_df: int = MAX_FP_DF,
+) -> DataFrame:
     """Near-dup candidates: pairs sharing ≥ min_shared winnowed fingerprints
-    (fingerprint-blocked join — linear shuffle, like the shingle join)."""
+    (fingerprint-blocked join — linear shuffle, like the shingle join).
+
+    Fingerprints appearing in more than ``max_fp_df`` documents are
+    dropped before the self-join (see MAX_FP_DF) — without the cap one
+    boilerplate fingerprint shared by N docs joins O(N²) rows."""
     fp = winnow_fingerprints(df, id_col, text_col)
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= int(max_fp_df))
+        .select("fingerprint")
+    )
+    fp = fp.join(rare, "fingerprint")
     return (
         fp.alias("a")
         .join(fp.alias("b"), "fingerprint")

@@ -209,6 +209,32 @@ def lsh_cosine_topk(
     )
 
 
+# embedding_near_dup_pairs: expected rows per LSH bucket when n_planes is
+# derived. Bucket-cardinality math: 2^p buckets over N rows ≈ N/2^p rows
+# per bucket, so the bucket self-join emits ≈ (N/2^p)²·2^p = N²/2^p
+# candidate rows — with p = ceil(log2(N / TARGET)) that is ≈ N·TARGET,
+# LINEAR in the corpus. A constant p (the r5 default of 4) makes it
+# N²/16 — quadratic with a constant divisor (the r5 verdict's finding).
+NEAR_DUP_TARGET_BUCKET_ROWS = 256
+MAX_NEAR_DUP_PLANES = 24
+
+
+def near_dup_planes_for(n_rows: int) -> int:
+    """ceil(log2(N / TARGET)) clamped to [1, MAX_NEAR_DUP_PLANES] — the
+    plane count that keeps expected bucket occupancy ≈ TARGET rows."""
+    import math
+
+    if n_rows <= NEAR_DUP_TARGET_BUCKET_ROWS:
+        return 1
+    return max(
+        1,
+        min(
+            MAX_NEAR_DUP_PLANES,
+            math.ceil(math.log2(n_rows / NEAR_DUP_TARGET_BUCKET_ROWS)),
+        ),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -216,16 +242,21 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     max_ids: int | None = None,
     method: str = "lsh",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
     method="lsh" (default, the scale path): candidates are restricted to
-    pairs sharing a hyperplane-LSH bucket — the join volume is linear in
-    the corpus (bucket-keyed equi-join), recall < 1 by design (a genuinely
-    near-dup pair at high threshold almost always lands in one bucket;
-    tune n_planes down / add probes for more recall).
+    pairs sharing a hyperplane-LSH bucket. ``n_planes=None`` (default)
+    derives the plane count from the corpus size (one cheap count job;
+    see near_dup_planes_for) so bucket occupancy — and with it the join
+    volume, ≈ N·TARGET rows — stays LINEAR in the corpus; a fixed
+    n_planes gives N²/2^p, quadratic with a constant divisor (fine for a
+    pinned small corpus, a scale-killer at 10⁹ vectors). More planes cut
+    recall (a near-dup pair must agree on every plane sign); the
+    recall-vs-bucket-count trade is pinned in
+    test_fingerprint_ivf.py::test_near_dup_planes_recall.
 
     method="exact": all-pairs theta join — a cartesian product with a
     predicate. NEVER call this unbounded on a large corpus; require an
@@ -242,6 +273,8 @@ def embedding_near_dup_pairs(
     if max_ids is not None:
         e = e.orderBy("id").limit(max_ids)
     if method == "lsh":
+        if n_planes is None:
+            n_planes = near_dup_planes_for(e.count())
         e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, dim))
         joined = e.alias("a").join(e.alias("b"), "bucket").where(
             F.col("a.id") < F.col("b.id")

@@ -461,3 +461,73 @@ def test_kmeans_pq_nonfinite_guard(spark):
     books = np.zeros((1, 2, 2))
     with pytest.raises(Exception, match="non-finite"):
         pq_encode(bad, books).collect()
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    """r6 (r5 verdict #1): a boilerplate k-gram shared by 1,000 docs
+    must NOT explode the winnow pair join — fingerprints above MAX_FP_DF
+    are dropped before the self-join, so pair volume stays bounded by
+    the docs' OTHER (discriminative) fingerprints. Also pins that the
+    cap is inert on a corpus whose dfs sit below it."""
+    from metadatadocumentparser_spark.operators.fingerprint import (
+        MAX_FP_DF,
+        winnow_overlap_pairs,
+    )
+
+    boiler = "COPYRIGHT HEADER do not remove this standard license line "
+    rows = [(i, boiler + f"unique tail {i} " + "x" * (i % 7)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnow_overlap_pairs(df, "doc_id", "text", min_shared=2)
+    n = pairs.count()
+    # uncapped, the shared boilerplate fingerprints alone give ~1000²/2
+    # candidate pairs; capped, only unique-tail collisions survive
+    assert n < 50_000, n
+    # inert below the cap: identical results with and without
+    small = spark.createDataFrame(
+        [(i, f"doc {i} words alpha beta gamma delta common tail segment here")
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    a = winnow_overlap_pairs(small, "doc_id", "text", 2)
+    b = winnow_overlap_pairs(small, "doc_id", "text", 2, max_fp_df=10**9)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert MAX_FP_DF > 341  # above the organic max df of the oracle corpora
+
+
+def test_near_dup_planes_recall(spark):
+    """r6 (r5 verdict #2): embedding_near_dup_pairs' default plane count
+    is derived from corpus size (bucket occupancy ≈ TARGET rows → join
+    volume linear), and the recall-vs-bucket-count trade behaves: planted
+    near-identical pairs are found at the derived setting, and more
+    planes can only shrink the candidate set."""
+    import random
+
+    from metadatadocumentparser_spark.operators.similarity import (
+        NEAR_DUP_TARGET_BUCKET_ROWS,
+        embedding_near_dup_pairs,
+        near_dup_planes_for,
+    )
+
+    # the derivation: ≈N/2^p rows per bucket
+    assert near_dup_planes_for(100) == 1
+    assert near_dup_planes_for(10**9) == min(24, 22)
+    assert near_dup_planes_for(NEAR_DUP_TARGET_BUCKET_ROWS * 16) == 4
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        rows.append((2 * i, [rng.uniform(-1, 1) for _ in range(64)]))
+        # planted near-dup: tiny perturbation of the even row
+        rows.append((2 * i + 1, [x + 1e-4 for x in rows[-1][1]]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.999).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(300)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, recall  # a perturbed pair agrees on every sign
+    # more planes => candidate set can only shrink (both supersets of 0)
+    few = embedding_near_dup_pairs(emb, threshold=0.999, n_planes=2).count()
+    many = embedding_near_dup_pairs(emb, threshold=0.999, n_planes=12).count()
+    assert many <= few
