@@ -181,8 +181,12 @@ def perplexity_score(
 ) -> DataFrame:
     """(id, n_tokens, log_ppl): mean -ln S per token under the trained
     stupid-backoff LM (lower = closer to the training corpus). Docs
-    with zero tokens score log_ppl = 0.0. Fully join-based — the model
-    never leaves the cluster."""
+    with zero tokens score log_ppl = 0.0 — NOTE (advisor finding): that
+    is the BEST possible score, so an LM-only quality gate would pass
+    empty/all-whitespace docs; always pair an LM gate with a
+    minimum-length (n_tokens > 0) filter, exactly as the heuristic
+    quality_score path does. Fully join-based — the model never leaves
+    the cluster."""
     if lm["n"] != 3:
         raise ValueError("perplexity_score: expects an order-3 LM (n=3)")
     total = lm["total"]

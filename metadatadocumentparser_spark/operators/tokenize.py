@@ -64,13 +64,22 @@ def tokenize_greedy(
     max_piece = max(len(p) for p in vocab)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
         for pdf in batches:
             out_ids = []
             for t in pdf["t"]:
                 ids: list[int] = []
                 if isinstance(t, str):
-                    for w in t.split():
-                        ids.extend(_encode_word(w, vmap, max_piece, unk_id))
+                    # ASCII \s+ — the SAME token boundary as the DuckDB
+                    # wp_md5 oracle mirror's regex \s+ (RE2 is ASCII);
+                    # python str.split() also splits on unicode
+                    # whitespace like NBSP and would diverge on
+                    # non-ASCII web text (r6, advisor finding — the same
+                    # boundary lm.LMClassifier documents)
+                    for w in re.split(r"\s+", t, flags=re.ASCII):
+                        if w:
+                            ids.extend(_encode_word(w, vmap, max_piece, unk_id))
                 out_ids.append(ids)
             yield pd.DataFrame(
                 {
@@ -83,7 +92,13 @@ def tokenize_greedy(
             )
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    return src.mapInPandas(kernel, schema="id bigint, ids array<int>, n_tokens bigint")
+    # id keeps the caller's type (string/decimal doc ids crashed or
+    # corrupted the hardcoded 'id bigint' — r6, advisor finding; the
+    # same fix classify/normalize/winnow got in r5)
+    id_ddl = src.schema["id"].dataType.simpleString()
+    return src.mapInPandas(
+        kernel, schema=f"id {id_ddl}, ids array<int>, n_tokens bigint"
+    )
 
 
 def decode_ids(ids: list[int], vocab: list[str]) -> str:

@@ -204,9 +204,14 @@ def make_batch_processor(
     lineage_ok = {"checked": False}
 
     def _check_lineage(write: bool):
-        """Mismatch raises; the marker itself is only WRITTEN at the end
-        of a successful batch (a run that dies before processing
-        anything must not permanently claim an empty state_dir)."""
+        """Mismatch raises; the marker is WRITTEN at the START of the
+        first processed batch, BEFORE any state append (r6, advisor
+        finding): written after the appends, a crash in the window
+        between an index append and the marker left batch_id-tagged rows
+        in an unclaimed state_dir — a later run with a fresh checkpoint
+        would pass this check and silently exclude them. A
+        claimed-but-empty state_dir merely raises a spurious ValueError
+        on reuse (fails safe); unclaimed state fails corrupt."""
         existing = _read_or_none(spark, lineage_dir)
         if existing is not None:
             rows = existing.limit(1).collect()
@@ -229,6 +234,10 @@ def make_batch_processor(
         _check_lineage(write=False)  # fail fast on an obvious mismatch
 
     def process(batch_df, batch_id: int):
+        # claim the state_dir for this checkpoint lineage BEFORE any
+        # state append (see _check_lineage)
+        if lineage is not None and not lineage_ok["checked"]:
+            _check_lineage(write=True)
         docs = batch_df.select("doc_id", "text", "lang")
         if normalize_form is not None:
             from ..operators.normalize import normalize_text
@@ -427,9 +436,4 @@ def make_batch_processor(
             ).select("h").distinct().withColumn(
                 "batch_id", F.lit(batch_id).cast("bigint")
             ).write.mode("append").parquet(substr_idx_dir)
-        # record the checkpoint lineage only once a batch has actually
-        # committed state into this state_dir
-        if lineage is not None and not lineage_ok["checked"]:
-            _check_lineage(write=True)
-
     return process
