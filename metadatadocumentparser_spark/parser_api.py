@@ -26,6 +26,7 @@ from .operators.multimodal import attach_image_bytes
 from .plans.pipeline import extract_all
 from .sinks.export import (
     canonical_struct,
+    canonical_struct_from_parsed,
     compare_export_formats,
     compare_extraction_methods,
     export,
@@ -85,19 +86,36 @@ class TranscriptExtractor:
         # document's extraction_method must report the method USED
         # (r5 review — it was hardcoded "pymupdf")
         self._last_text_method = text_method
+        # the export fast path (canonical_struct_from_parsed) replays the
+        # formula stage array-side, so it must know the parse's mode; an
+        # OCR strategy post-processes the formulas TABLE, which only the
+        # aggregate form can consume
+        self._last_strict = strict_mode
+        self._last_formulas = extract_formulas
+        self._last_ocr = ocr_strategy
         return outs
 
     def compare_extraction_methods(self) -> dict:
         return compare_extraction_methods(self.df)
 
     def export_to_dict(self, outs: dict) -> DataFrame:
-        return canonical_struct(outs, extraction_method=self._method())
+        return self._struct(outs)
 
     def export(self, outs: dict, format: str = "toon", delimiter: str = ",") -> DataFrame:
-        return export(
-            canonical_struct(outs, extraction_method=self._method()),
-            format=format, delimiter=delimiter,
-        )
+        return export(self._struct(outs), format=format, delimiter=delimiter)
+
+    def _struct(self, outs: dict) -> DataFrame:
+        # shuffle-free array-side build straight off the parsed table
+        # (r6) whenever the outs dict is untransformed; OCR'd formulas
+        # exist only at table grain -> aggregate form
+        if getattr(self, "_last_ocr", None) is None and "parsed" in outs:
+            return canonical_struct_from_parsed(
+                outs["parsed"],
+                extraction_method=self._method(),
+                strict_mode=getattr(self, "_last_strict", False),
+                include_formulas=getattr(self, "_last_formulas", True),
+            )
+        return canonical_struct(outs, extraction_method=self._method())
 
     def _method(self) -> str:
         return getattr(self, "_last_text_method", "pymupdf")

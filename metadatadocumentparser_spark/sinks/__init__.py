@@ -4,6 +4,7 @@ method comparison (A5), column visualization (K7)."""
 
 from .export import (  # noqa: F401
     canonical_struct,
+    canonical_struct_from_parsed,
     export,
     compare_export_formats,
     compare_extraction_methods,

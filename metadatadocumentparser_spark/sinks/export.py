@@ -121,6 +121,141 @@ def canonical_struct(outs: dict, extraction_method: str = "pymupdf") -> DataFram
     )
 
 
+def canonical_struct_from_parsed(
+    parsed: DataFrame,
+    extraction_method: str = "pymupdf",
+    strict_mode: bool = False,
+    include_formulas: bool = True,
+) -> DataFrame:
+    """K1 rebuilt ARRAY-SIDE from the parsed table (r6; the r5 PLANS.md
+    note, r5 verdict item 4): the aggregate form explodes 4 output
+    tables and pays 4 groupBy Exchanges + a 5-way join cascade to
+    reassemble what the parsed row already holds as ordered nested
+    arrays. This form is ONE shuffle-free projection: per-element
+    transforms evaluate the same native classify/formula/LaTeX
+    expressions inside array lambdas, and element order equals the
+    aggregate form's sort order by construction (block_idx / (page_num,
+    image_index) / table_index / formula_index are the emission orders).
+
+    Equality with the aggregate form is pinned by
+    test_sinks.py::test_canonical_struct_from_parsed_equals_aggregate
+    across pymupdf/pdfplumber, strict and no-formula modes. The
+    aggregate form remains for pre-transformed outs dicts (e.g. an
+    OCR-postprocessed formulas table, which exists only at table grain).
+    """
+    from ..functions.classify import classify_block_type
+    from ..functions.formula import (
+        ALL_MATH_CHARS,
+        formula_score_cols,
+        is_formula_candidate,
+        stripped_text,
+    )
+    from ..functions.htmlmeta import html_author, html_date, html_title
+    from ..functions.latex import latex_heuristic
+
+    metadata = F.struct(
+        F.when(F.col("is_html"), html_title(F.col("html_raw")))
+        .otherwise(F.col("meta.title"))
+        .alias("title"),
+        F.when(F.col("is_html"), html_author(F.col("html_raw")))
+        .otherwise(F.col("meta.author"))
+        .alias("author"),
+        F.col("meta.subject").alias("subject"),
+        F.col("meta.creator").alias("creator"),
+        F.col("meta.producer").alias("producer"),
+        F.when(F.col("is_html"), html_date(F.col("html_raw")))
+        .otherwise(F.col("meta.creation_date"))
+        .alias("creation_date"),
+        F.col("meta.modification_date").alias("modification_date"),
+        F.col("meta.num_pages").alias("num_pages"),
+        F.col("meta.file_size").alias("file_size"),
+        F.col("meta.page_sizes").alias("page_sizes"),
+    )
+    text_blocks = F.transform(
+        "blocks",
+        lambda b: F.struct(
+            b["text"].alias("text"),
+            b["bbox"].alias("bbox"),
+            b["page_num"].alias("page_num"),
+            b["font_size"].alias("font_size"),
+            b["font_name"].alias("font_name"),
+            classify_block_type(
+                b["bbox"], b["font_size"], b["page_height"], b["needs_classify"]
+            ).alias("block_type"),
+        ),
+    )
+    images = F.transform(
+        "images",
+        lambda i: F.struct(
+            i["image_index"].alias("image_index"),
+            i["page_num"].alias("page_num"),
+            i["bbox"].alias("bbox"),
+            i["width"].alias("width"),
+            i["height"].alias("height"),
+            i["colorspace"].alias("colorspace"),
+            i["ext"].alias("ext"),
+        ),
+    )
+    tables = F.transform(
+        "tables",
+        lambda t: F.struct(
+            t["table_index"].alias("table_index"),
+            t["page_num"].alias("page_num"),
+            t["bbox"].alias("bbox"),
+            t["data"].alias("data"),
+            t["extraction_method"].alias("extraction_method"),
+        ),
+    )
+    if include_formulas:
+        threshold = 0.8 if strict_mode else 0.7
+
+        def _passes(b):
+            raw = b["text"]
+            t = stripped_text(raw)
+            score, _conf, _ = formula_score_cols(t, b["font_size"], strict_mode)
+            raw_has_math = F.length(raw) != F.length(
+                F.translate(raw, ALL_MATH_CHARS, "")
+            )
+            return F.when(
+                raw_has_math,
+                F.when(score >= threshold, is_formula_candidate(t)).otherwise(
+                    F.lit(False)
+                ),
+            ).otherwise(F.lit(False))
+
+        def _formula(b, i):
+            t = stripped_text(b["text"])
+            _s, conf, _ = formula_score_cols(t, b["font_size"], strict_mode)
+            return F.struct(
+                i.alias("formula_index"),
+                b["page_num"].alias("page_num"),
+                b["bbox"].alias("bbox"),
+                t.alias("formula_text"),
+                latex_heuristic(t).alias("latex"),
+                conf.alias("confidence"),
+            )
+
+        formulas = F.transform(F.filter("blocks", _passes), _formula)
+    else:
+        formulas = F.expr(
+            "CAST(array() AS array<struct<formula_index:int,page_num:int,"
+            "bbox:array<double>,formula_text:string,latex:string,"
+            "confidence:double>>)"
+        )
+    return parsed.select(
+        *_KEY,
+        F.struct(
+            metadata.alias("metadata"),
+            text_blocks.alias("text_blocks"),
+            images.alias("images"),
+            tables.alias("tables"),
+            formulas.alias("formulas"),
+            F.lit(extraction_method).alias("extraction_method"),
+            F.col("column_layout"),
+        ).alias("document"),
+    )
+
+
 def export_json(doc_struct: DataFrame) -> DataFrame:
     """K2: conv_id, turn_idx, json string per turn (native to_json).
 

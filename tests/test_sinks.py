@@ -262,3 +262,62 @@ def test_raw_text_sources(spark, tmp_path):
     whole = {os.path.basename(r.path): r.text for r in read_whole_text_files(spark, str(d)).collect()}
     assert whole["a.txt"] == "alpha one\nshared line\nshared line\n"
     assert whole["b.txt"] == "beta\n"
+
+
+def test_canonical_struct_from_parsed_equals_aggregate(spark):
+    """r6 (r5 verdict #4): the shuffle-free array-side K1 build must
+    equal the 4-groupBy + 5-join aggregate form byte-for-byte — across
+    pymupdf and pdfplumber parses, strict mode, and formulas on/off —
+    and its plan must contain NO Exchange at all."""
+    from metadatadocumentparser_spark.sinks.export import (
+        canonical_struct_from_parsed,
+        export_json,
+    )
+
+    df = _df(spark)
+    for kw in (
+        dict(),
+        dict(strict_mode=True),
+        dict(text_method="pdfplumber"),
+    ):
+        outs = extract_all(df, **kw)
+        method = kw.get("text_method", "pymupdf")
+        strict = kw.get("strict_mode", False)
+        agg = export_json(canonical_struct(outs, extraction_method=method))
+        fast = export_json(
+            canonical_struct_from_parsed(
+                outs["parsed"], extraction_method=method, strict_mode=strict
+            )
+        )
+        a = {(r.conv_id, r.turn_idx): r.json for r in agg.collect()}
+        b = {(r.conv_id, r.turn_idx): r.json for r in fast.collect()}
+        assert a == b, kw
+    # formulas off: aggregate path uses a limit(0) formulas table
+    outs = extract_all(df)
+    outs0 = dict(outs)
+    outs0["formulas"] = outs["formulas"].limit(0)
+    agg = export_json(canonical_struct(outs0))
+    fast = export_json(
+        canonical_struct_from_parsed(outs["parsed"], include_formulas=False)
+    )
+    a = {(r.conv_id, r.turn_idx): r.json for r in agg.collect()}
+    b = {(r.conv_id, r.turn_idx): r.json for r in fast.collect()}
+    assert a == b
+    # plan gate: zero Exchange anywhere in the fast path
+    plan = canonical_struct_from_parsed(outs["parsed"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_parser_api_export_uses_fast_path(spark):
+    """TranscriptExtractor.export_to_dict routes through the array-side
+    build for a plain parse (no OCR), with mode flags propagated."""
+    from metadatadocumentparser_spark.parser_api import TranscriptExtractor
+
+    ex = TranscriptExtractor(_df(spark))
+    outs = ex.parse(extract_formulas=True, text_method="pdfplumber",
+                    strict_mode=True)
+    doc = ex.export_to_dict(outs)
+    plan = doc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    row = doc.orderBy("conv_id", "turn_idx").limit(1).collect()[0]
+    assert row.document.extraction_method == "pdfplumber"
