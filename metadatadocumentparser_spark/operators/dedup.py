@@ -186,33 +186,70 @@ def minhash_signatures(
     """id + h0..h{num_hashes-1}: per-permutation minima of md5('<i>:'+shingle).
     md5-hex minima are plain lexicographic string minima — portable.
 
-    r6: computed ARRAY-SIDE (array_min over the doc's distinct-shingle
-    array) — the r1-r5 form exploded ~L shingle rows per doc and paid a
-    corpus-wide groupBy(id) shuffle to re-assemble a per-doc scalar row;
-    the signature is a pure per-doc function, so the explode+shuffle was
-    pure cost (guide §2.4). md5 count is identical; array_min uses the
-    same binary string ordering as the min() aggregate. Docs with no
-    shingles (< k tokens) produced no rows before and are filtered the
-    same way here (all-NULL minima)."""
+    r6: the signature is a pure per-doc function, so it is computed in a
+    mapInArrow kernel (guide §2.4/§4.2). The r1-r5 form exploded ~L
+    shingle rows per doc and paid a corpus-wide groupBy(id) shuffle; an
+    intermediate array-side form (array_min over transform) removed the
+    shuffle but evaluated md5 through INTERPRETED higher-order lambdas
+    at ~30 µs/hash (16s for the 16M hashes of a 50k-doc corpus) vs ~1 µs
+    for hashlib here and for the codegen'd md5 of the old explode.
+    Python hashlib.md5 hexdigest == Spark md5() (lowercase hex) and
+    Python str minima == UTF8String binary minima on hex ASCII, so the
+    values are identical (A/B-pinned in test_minhash_kernel_equals_agg).
+    Docs with no shingles (< k tokens, incl. NULL text) produce no row,
+    exactly like the explode+groupBy form."""
+    import hashlib
+
+    import pyarrow as pa
+
     from ._util import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
-    shs = shingle_array(text_col, shingle_k)
-
-    def _h(i):
-        # single-arg lambda: a second parameter would be interpreted by
-        # transform() as the ARRAY INDEX, not a closure variable
-        pre = f"{i}:"
-        return F.array_min(
-            F.transform(F.col("shs"), lambda s: F.md5(F.concat(F.lit(pre), s)))
-        )
-
-    cols = [_h(i).alias(f"h{i}") for i in range(num_hashes)]
-    return (
-        df.select(F.col(id_col).alias("id"), shs.alias("shs"))
-        .select("id", *cols)
-        .where(F.col("h0").isNotNull())
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     )
+    id_ddl = src.schema["id"].dataType.simpleString()
+    names = [f"h{i}" for i in range(num_hashes)]
+    pres = [f"{i}:".encode() for i in range(num_hashes)]
+    k = shingle_k
+    md5 = hashlib.md5
+
+    def kernel(batches):
+        for batch in batches:
+            texts = batch.column("t").to_pylist()
+            keep = []
+            cols: list = [[] for _ in range(num_hashes)]
+            for di, txt in enumerate(texts):
+                if txt is None:
+                    continue
+                words = txt.split(" ")
+                n = len(words) - k + 1
+                if n <= 0:
+                    continue
+                seen = set()
+                mins = [None] * num_hashes
+                for i in range(n):
+                    s = " ".join(words[i : i + k])
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    sb = s.encode()
+                    for j in range(num_hashes):
+                        h = md5(pres[j] + sb).hexdigest()
+                        if mins[j] is None or h < mins[j]:
+                            mins[j] = h
+                keep.append(di)
+                for j in range(num_hashes):
+                    cols[j].append(mins[j])
+            if not keep:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id").take(pa.array(keep, type=pa.int32()))]
+                + [pa.array(c, type=pa.string()) for c in cols],
+                names=["id"] + names,
+            )
+
+    schema = f"id {id_ddl}, " + ", ".join(f"{c} string" for c in names)
+    return src.mapInArrow(kernel, schema=schema)
 
 
 def minhash_band_rows(
@@ -266,6 +303,13 @@ def minhash_lsh_pairs(
     band_df = minhash_band_rows(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
     )
+    # materialize ONE exchange keyed by the join key: band_df is now a
+    # pure projection (no aggregate exchange like r5), and without this
+    # the planner's small size estimate broadcast-joins one side — the
+    # md5 signature subtree then computes TWICE (once per side, measured
+    # 17s vs 6.8s on a 50k-doc corpus). Both self-join sides reuse this
+    # exchange (guide §2.4), so signatures are computed exactly once.
+    band_df = band_df.repartition("band", "bkey")
     return (
         band_df.alias("a")
         .join(band_df.alias("b"), ["band", "bkey"])

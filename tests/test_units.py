@@ -1079,3 +1079,36 @@ def test_textstats_null_text_is_empty(spark):
         ts.lang_id(F.col("text")).alias("lang"),
     ).collect()[0]
     assert (r.tc, r.bc, r.lang) == (0, 0, "en") and r.q is not None
+
+
+def test_minhash_kernel_equals_agg(spark):
+    """r6: minhash_signatures is a hashlib mapInArrow kernel; it must
+    equal the r5 explode+groupBy(id) aggregate form exactly — including
+    short/NULL-text docs (absent) and NULL-id docs (present, like the
+    old NULL group), across a non-default (num_hashes, k)."""
+    from pyspark.sql import functions as F
+
+    from metadatadocumentparser_spark.operators.dedup import (
+        minhash_signatures,
+        with_shingles,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b"),           # < k tokens -> absent
+        (3, None),            # NULL text -> absent
+        (4, "x y z x y z x"),
+        (None, "p q r s t"),  # NULL id -> present (old NULL group)
+        (6, "naïve π token ∑ stream merge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for nh, k in ((8, 3), (4, 2)):
+        sh = with_shingles(df, "doc_id", "text", k=k)
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(nh)
+        ]
+        old = sh.groupBy("id").agg(*aggs)
+        new = minhash_signatures(df, "doc_id", "text", num_hashes=nh, shingle_k=k)
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
