@@ -113,14 +113,16 @@ def column_boxes(page, header_margin: float = 50, footer_margin: float = 50, no_
     vert_bboxes = []
     bboxes = []
     for blk in page.blocks:
-        kept = [
-            ln
-            for ln in blk.lines
-            if 0.0 <= ln.bbox[0]
-            and clip_y0 <= ln.bbox[1]
-            and ln.bbox[2] <= clip_x1
-            and ln.bbox[3] <= clip_y1
-        ]
+        kept = []
+        for ln in blk.lines:
+            b = ln.bbox
+            if (
+                0.0 <= b[0]
+                and clip_y0 <= b[1]
+                and b[2] <= clip_x1
+                and b[3] <= clip_y1
+            ):
+                kept.append(ln)
         if not kept:
             continue
         b = kept[0].bbox

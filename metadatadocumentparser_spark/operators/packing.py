@@ -30,9 +30,13 @@ PACKED_DDL = (
 )
 
 
-def _ffd(ids, sizes, capacity: int):
-    """First-fit-decreasing over one shard: returns list of
-    (ids, total, oversize) packs. Deterministic: sort by (-size, id)."""
+def _ffd_linear(ids, sizes, capacity: int):
+    """Reference first-fit-decreasing (the r1-r5 form): linear scan over
+    all open packs per item — O(n·packs) per shard, which made a FIXED
+    shard count super-linear in corpus size (the r6 decade sweep caught
+    pack_sequences at 26× wall for 10× rows). Kept as the A/B oracle for
+    the segment-tree form below (identical pack membership pinned by
+    test_ffd_segment_tree_equals_linear)."""
     order = sorted(range(len(ids)), key=lambda i: (-sizes[i], ids[i]))
     packs: list[list[int]] = []   # indexes into ids
     totals: list[int] = []
@@ -52,6 +56,70 @@ def _ffd(ids, sizes, capacity: int):
         if not placed:
             packs.append([i])
             totals.append(s)
+    return [
+        ([ids[i] for i in p], totals[k], totals[k] > capacity)
+        for k, p in enumerate(packs)
+    ]
+
+
+def _ffd(ids, sizes, capacity: int):
+    """First-fit-decreasing over one shard: returns list of
+    (ids, total, oversize) packs. Deterministic: sort by (-size, id).
+
+    EXACT first-fit in O(n log n) (r6): a max-segment-tree over open
+    packs' residual capacities answers "leftmost pack with residual ≥ s"
+    in O(log n) — the same pack the linear scan picks, so membership is
+    byte-identical (the docs_packing oracle replays it). Eligibility in
+    the linear form is totals+s ≤ cap AND totals < cap, i.e. residual ≥
+    max(s, 1) — oversize packs (negative residual) are never eligible."""
+    n = len(ids)
+    order = sorted(range(n), key=lambda i: (-sizes[i], ids[i]))
+    packs: list[list[int]] = []   # indexes into ids
+    totals: list[int] = []
+    # segment tree over pack slots 0..n-1 (residuals; -1 = slot unused —
+    # an unused slot must never satisfy a query, and residuals of real
+    # packs are ≥ 0 for non-oversize, < 0 impossible to match max(s,1))
+    size = 1
+    while size < max(n, 1):
+        size <<= 1
+    tree = [-1] * (2 * size)
+
+    def update(pos: int, val: int):
+        i = size + pos
+        tree[i] = val
+        i >>= 1
+        while i:
+            tree[i] = tree[2 * i] if tree[2 * i] >= tree[2 * i + 1] else tree[2 * i + 1]
+            i >>= 1
+
+    def first_fit(need: int) -> int:
+        """Leftmost pack slot with residual >= need, or -1."""
+        if tree[1] < need:
+            return -1
+        i = 1
+        while i < size:
+            i <<= 1
+            if tree[i] < need:
+                i += 1
+        return i - size
+
+    for i in order:
+        s = sizes[i]
+        if s >= capacity:
+            # oversize: own pack, never a fit target (residual < 0 stays
+            # out of the tree entirely)
+            packs.append([i])
+            totals.append(s)
+            continue
+        p = first_fit(s if s > 1 else 1)
+        if p >= 0:
+            packs[p].append(i)
+            totals[p] += s
+            update(p, capacity - totals[p])
+        else:
+            packs.append([i])
+            totals.append(s)
+            update(len(packs) - 1, capacity - s)
     return [
         ([ids[i] for i in p], totals[k], totals[k] > capacity)
         for k, p in enumerate(packs)

@@ -161,6 +161,23 @@ def test_ffd_packing_invariants(sizes, capacity):
 
 @settings(max_examples=200, deadline=None)
 @given(
+    st.lists(st.integers(0, 500), min_size=0, max_size=120),
+    st.integers(1, 512),
+)
+def test_ffd_segment_tree_equals_linear(sizes, capacity):
+    """r6: the O(n log n) segment-tree first-fit must pick the IDENTICAL
+    pack the linear scan picks for every item — membership, totals,
+    oversize flags and pack ORDER all equal (the docs_packing oracle
+    replays FFD membership, so this is a correctness pin, not a style
+    check). Includes zero sizes and size == capacity boundaries."""
+    from metadatadocumentparser_spark.operators.packing import _ffd, _ffd_linear
+
+    ids = list(range(100, 100 + len(sizes)))
+    assert _ffd(ids, sizes, capacity) == _ffd_linear(ids, sizes, capacity)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
     st.lists(st.integers(0, 30), min_size=0, max_size=400),
     st.integers(2, 20),
 )
