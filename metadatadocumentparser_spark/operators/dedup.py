@@ -303,13 +303,16 @@ def minhash_lsh_pairs(
     band_df = minhash_band_rows(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
     )
-    # materialize ONE exchange keyed by the join key: band_df is now a
-    # pure projection (no aggregate exchange like r5), and without this
-    # the planner's small size estimate broadcast-joins one side — the
-    # md5 signature subtree then computes TWICE (once per side, measured
-    # 17s vs 6.8s on a 50k-doc corpus). Both self-join sides reuse this
-    # exchange (guide §2.4), so signatures are computed exactly once.
-    band_df = band_df.repartition("band", "bkey")
+    # materialize the band rows ONCE before the self-join: the signature
+    # kernel is a Python node, whose exchanges do not canonicalize equal
+    # across the two join sides (verified in the executed plan — no
+    # ReusedExchange; the kernel ran twice and one copy was re-shuffled
+    # AND broadcast). localCheckpoint is the connected_components
+    # pattern: one computation, both sides read the materialized rows
+    # (4 tiny rows per doc — at extreme corpus sizes this intermediate
+    # spills to executor disk, which is still far cheaper than a second
+    # full signature pass).
+    band_df = band_df.localCheckpoint(eager=True)
     return (
         band_df.alias("a")
         .join(band_df.alias("b"), ["band", "bkey"])
