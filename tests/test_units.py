@@ -1112,3 +1112,30 @@ def test_minhash_kernel_equals_agg(spark):
         new = minhash_signatures(df, "doc_id", "text", num_hashes=nh, shingle_k=k)
         assert new.exceptAll(old).count() == 0
         assert old.exceptAll(new).count() == 0
+
+
+def test_stripped_chars_is_python_isspace():
+    """r6: stripped_text's btrim char set must be EXACTLY the set Python
+    str.strip() strips (str.isspace() over the full Unicode range) —
+    the reference operation it replicates."""
+    from metadatadocumentparser_spark.functions.formula import _STRIP_CHARS
+
+    expect = "".join(chr(c) for c in range(0x110000) if chr(c).isspace())
+    assert _STRIP_CHARS == expect
+
+
+def test_stripped_text_engine_matches_python_strip(spark):
+    """btrim form == str.strip() on adversarial edges (NBSP, FS-US,
+    ideographic space, zero-width NOT stripped, interior kept)."""
+    from metadatadocumentparser_spark.functions.formula import stripped_text
+
+    cases = [
+        "  x = y  ",
+        "\x1c\x1d∑ a + b\x1e\x1f",
+        " 　π ≈ 3 ",
+        "​ not-space edges ​",  # zero-width space is NOT isspace
+        "", "   ", "\n\t\r\x0b\x0c mid \x85",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r.s for r in df.select(stripped_text(F.col("t")).alias("s")).collect()]
+    assert got == [c.strip() for c in cases]
